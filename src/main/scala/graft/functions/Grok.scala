@@ -1,0 +1,108 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Grok pattern → Java regex compiler, run at plan-build time so the
+  * executing plan contains only `rlike`/`regexp_extract` (codegen'd,
+  * UDF-free — the north star requirement).
+  *
+  * Reference semantics: `plugins/processor/grok/processor_grok.go:48-65`
+  * (patterns recursively expanded and compiled once at Init) with the
+  * public grok default dictionary
+  * (`plugins/processor/grok/processor_grok_default_patterns.go`; the
+  * patterns themselves are the standard public logstash set).
+  *
+  * `%{NAME:alias}` becomes a capturing group recorded under `alias`;
+  * `%{NAME}` expands non-capturing; `%{NAME:alias:type}` drops the type
+  * (casting is the caller's job — columns are typed downstream).
+  * Capturing groups inside dictionary bodies are rewritten to
+  * non-capturing so alias group indices stay dense and ordered.
+  */
+object Grok {
+
+  /** Public default patterns (standard grok/logstash dictionary). */
+  val defaultPatterns: Map[String, String] = Map(
+    "USERNAME" -> "[a-zA-Z0-9._-]+",
+    "USER" -> "%{USERNAME}",
+    "INT" -> "(?:[+-]?(?:[0-9]+))",
+    "BASE10NUM" -> "(?:[+-]?(?:[0-9]+(?:\\.[0-9]+)?)|\\.[0-9]+)",
+    "NUMBER" -> "(?:%{BASE10NUM})",
+    "POSINT" -> "\\b(?:[1-9][0-9]*)\\b",
+    "NONNEGINT" -> "\\b(?:[0-9]+)\\b",
+    "WORD" -> "\\b\\w+\\b",
+    "NOTSPACE" -> "\\S+",
+    "SPACE" -> "\\s*",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "QUOTEDSTRING" -> "(?:\"(?:[^\"\\\\]|\\\\.)*\"|'(?:[^'\\\\]|\\\\.)*')",
+    "QS" -> "%{QUOTEDSTRING}",
+    "IPV4" -> "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "IP" -> "%{IPV4}",
+    "HOSTNAME" -> "\\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\\.?\\b",
+    "IPORHOST" -> "(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT" -> "%{IPORHOST}:%{POSINT}",
+    "URIPATH" -> "(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\\-]*)+",
+    "URIPARAM" -> "\\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\\-\\[\\]<>]*",
+    "URIPATHPARAM" -> "%{URIPATH}(?:%{URIPARAM})?",
+    "MONTH" -> "\\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\\b",
+    "MONTHDAY" -> "(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR" -> "(?:\\d\\d){1,2}",
+    "HOUR" -> "(?:2[0123]|[01]?[0-9])",
+    "MINUTE" -> "(?:[0-5][0-9])",
+    "SECOND" -> "(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME" -> "(?:%{HOUR}:%{MINUTE}(?::%{SECOND})?)",
+    "TIMESTAMP_ISO8601" -> "%{YEAR}-%{MONTHDAY}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)?",
+    "HTTPDATE" -> "%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "LOGLEVEL" -> "(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"
+  )
+
+  private val ref = "%\\{(\\w+)(?::([\\w.\\[\\]]+))?(?::\\w+)?\\}".r
+
+  /** Make every capturing group in a dictionary body non-capturing.
+    * Handles escaped parens and character classes. */
+  private[graft] def decapture(rx: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < rx.length) {
+      val c = rx.charAt(i)
+      if (c == '\\' && i + 1 < rx.length) { sb.append(c).append(rx.charAt(i + 1)); i += 2 }
+      else {
+        if (c == '[' && !inClass) inClass = true
+        else if (c == ']' && inClass) inClass = false
+        if (c == '(' && !inClass && (i + 1 >= rx.length || rx.charAt(i + 1) != '?'))
+          sb.append("(?:")
+        else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Expand a grok expression to (javaRegex, orderedAliases). */
+  def compile(pattern: String, custom: Map[String, String] = Map.empty): (String, Seq[String]) = {
+    val dict = defaultPatterns ++ custom
+    val aliases = mutable.ArrayBuffer.empty[String]
+
+    def expand(p: String, depth: Int): String = {
+      require(depth < 50, s"grok recursion too deep in: $pattern")
+      ref.replaceAllIn(p, m => {
+        val name = m.group(1)
+        val alias = Option(m.group(2))
+        val body = dict.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
+        // Record the outer alias BEFORE expanding the body: its capture
+        // group opens before any nested aliased group.
+        val g = alias match {
+          case Some(a) =>
+            aliases += a
+            s"(${expand(decapture(body), depth + 1)})"
+          case None => s"(?:${expand(decapture(body), depth + 1)})"
+        }
+        java.util.regex.Matcher.quoteReplacement(g)
+      })
+    }
+    val rx = expand(pattern, 0)
+    (rx, aliases.toSeq)
+  }
+}

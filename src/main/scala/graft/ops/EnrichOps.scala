@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lookup enrichments (SURVEY.md §2.4/§2.7) — the reference's only
+  * join-like operators, realized as broadcast joins so the big side
+  * never shuffles (critical at 10^12 rows: the dict is tiny, the fact
+  * table streams through map-side).
+  */
+object EnrichOps {
+
+  /** Dictionary lookup enrichment — the north-star broadcast join.
+    *
+    * Reference: `plugins/processor/dictmap/processor_dict_map.go:30-41,
+    * 58-74,127-132` — `MapDict` (dup keys rejected), `SourceKey` →
+    * `DestKey`, `HandleMissing` + `Missing` default, `Mode` ∈
+    * fill/overwrite (`:66-67`).
+    *
+    * `fill` keeps a pre-existing dest value and only fills gaps;
+    * `overwrite` always takes the dict value when the key is found.
+    */
+  final case class DictMap(
+      dict: Map[String, String],
+      sourceKey: String,
+      destKey: String,
+      handleMissing: Boolean = false,
+      missing: String = "Unknown",
+      mode: String = "overwrite") {
+    require(dict.nonEmpty, "empty dict")
+
+    def apply(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dictDf = dict.toSeq.toDF("__dict_key__", "__dict_val__")
+      val joined = df.join(broadcast(dictDf),
+        col(sourceKey) === col("__dict_key__"), "left")
+      val mapped =
+        if (handleMissing) coalesce(col("__dict_val__"), lit(missing))
+        else col("__dict_val__")
+      val existing: Option[Column] =
+        if (df.columns.contains(destKey)) Some(col(destKey)) else None
+      val out = (mode, existing) match {
+        case ("fill", Some(prev)) => coalesce(prev, mapped)
+        case ("overwrite", Some(prev)) => coalesce(mapped, prev)
+        case _ => mapped
+      }
+      joined.withColumn(destKey, out).drop("__dict_key__", "__dict_val__")
+    }
+  }
+
+  /** Range-lookup enrichment (the geoip shape): broadcast theta join
+    * `lo <= key AND key < hi` against a small range table.
+    * Reference: `plugins/processor/geoip/processor_geoip.go` — MaxMind
+    * ranges; we model the general broadcast range join.
+    *
+    * `ranges` columns: (lo: Long, hi: Long, attrs…). At scale the range
+    * side stays broadcast (it is a dimension); the fact side never
+    * shuffles.
+    */
+  final case class RangeLookup(
+      ranges: DataFrame,
+      keyCol: String,
+      loCol: String = "lo",
+      hiCol: String = "hi") {
+    def apply(df: DataFrame): DataFrame =
+      df.join(broadcast(ranges),
+        col(keyCol) >= col(loCol) && col(keyCol) < col(hiCol), "left")
+  }
+
+  /** Static metadata stamping (cloud meta / tag native):
+    * constant columns from job config.
+    * Reference: `plugins/processor/cloudmeta/cloud_meta.go`,
+    * `core/plugin/processor/inner/ProcessorTagNative.cpp:43-74`. */
+  final case class StaticTags(tags: Map[String, String]) {
+    def apply(df: DataFrame): DataFrame =
+      tags.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Scalar field manipulations (SURVEY.md §2.4) — all built-in,
+  * codegen'd expressions. */
+object FieldOps {
+
+  /** Add constant fields; `ignoreIfExist` keeps a pre-existing value.
+    * Reference: `plugins/processor/addfields/processor_add_fields.go:26-30`. */
+  final case class AddFields(fields: Map[String, String], ignoreIfExist: Boolean = false) {
+    def apply(df: DataFrame): DataFrame =
+      fields.foldLeft(df) { case (d, (k, v)) =>
+        if (d.columns.contains(k))
+          if (ignoreIfExist) d.withColumn(k, coalesce(col(k), lit(v)))
+          else d.withColumn(k, lit(v))
+        else d.withColumn(k, lit(v))
+      }
+  }
+
+  /** Rename columns. Reference: `plugins/processor/rename/
+    * processor_rename.go:26-34`. */
+  final case class Rename(mapping: Map[String, String]) {
+    def apply(df: DataFrame): DataFrame = df.withColumnsRenamed(mapping)
+  }
+
+  /** Drop listed keys (content drop, not row drop).
+    * Reference: `plugins/processor/drop/processor_drop.go:24-29`. */
+  final case class Drop(keys: Seq[String]) {
+    def apply(df: DataFrame): DataFrame = df.drop(keys: _*)
+  }
+
+  /** Projection: keep only include keys / remove exclude keys.
+    * Reference: `plugins/processor/pickkey/processor_pick_key.go:26-37`. */
+  final case class PickKey(include: Seq[String] = Nil, exclude: Seq[String] = Nil) {
+    def apply(df: DataFrame): DataFrame =
+      if (include.nonEmpty) df.select(include.map(col): _*)
+      else df.drop(exclude: _*)
+  }
+
+  /** String replace: regex / const / dest-copy.
+    * Reference: `plugins/processor/stringreplace/
+    * processor_string_replace.go:30-40`. */
+  final case class StringReplace(
+      sourceKey: String,
+      regex: String,
+      replacement: String,
+      destKey: Option[String] = None) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey.getOrElse(sourceKey),
+        regexp_replace(col(sourceKey), regex, replacement))
+  }
+
+  /** Desensitize (mask) content after an anchor pattern.
+    * Reference: `core/plugin/processor/ProcessorDesensitizeNative.cpp:
+    * 57-117,203-207` — regex `(before)(target)`, replacement
+    * `$1 + mask`; `Method` ∈ const/md5. Spark's `regexp_replace` is
+    * global, matching the reference's `ReplaceAll=true` mode (first-only
+    * is a documented divergence, SURVEY.md §2.4).
+    */
+  final case class Desensitize(
+      sourceKey: String,
+      beforePattern: String,
+      contentPattern: String,
+      method: String = "const", // const | md5
+      replacingString: String = "********") {
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val out = method match {
+        case "const" =>
+          // Global replace == reference ReplaceAll=true (RE2
+          // GlobalReplace, ProcessorDesensitizeNative.cpp:203-207).
+          regexp_replace(src, s"($beforePattern)(?:$contentPattern)",
+            "$1" + replacingString)
+        case "md5" =>
+          // Replace the first occurrence's content with its md5:
+          // decompose into (prefix-incl-anchor)(content)(rest) and
+          // rebuild — regexp_replace cannot compute replacements.
+          val rx3 = s"(?s)^(.*?$beforePattern)($contentPattern)(.*)$$"
+          when(src.rlike(s"(?s)$beforePattern(?:$contentPattern)"),
+            concat(
+              regexp_extract(src, rx3, 1),
+              md5(regexp_extract(src, rx3, 2).cast("binary")),
+              regexp_extract(src, rx3, 3))
+          ).otherwise(src)
+        case other => throw new IllegalArgumentException(s"method $other")
+      }
+      df.withColumn(sourceKey, out)
+    }
+  }
+
+  /** Base64 encode/decode a field into `destKey`.
+    * Reference: `plugins/processor/base64/{encoding,decoding}`. */
+  final case class Base64Encode(sourceKey: String, destKey: String) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey, base64(col(sourceKey).cast("binary")))
+  }
+  final case class Base64Decode(sourceKey: String, destKey: String) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey, unbase64(col(sourceKey)).cast(StringType))
+  }
+
+  /** md5 of a field. Reference: `plugins/processor/md5/processor_md5.go`. */
+  final case class Md5(sourceKey: String, destKey: String) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey, md5(col(sourceKey).cast("binary")))
+  }
+
+  /** AES encrypt fields (CBC), reference `plugins/processor/encrypt/
+    * processor_encrypt.go` — built-in `aes_encrypt` (Spark ≥3.3). */
+  final case class Encrypt(sourceKey: String, keyHex: String, ivHex: String) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(sourceKey,
+        base64(aes_encrypt(col(sourceKey).cast("binary"), unhex(lit(keyHex)),
+          lit("CBC"), lit("PKCS"), unhex(lit(ivHex)), lit("".getBytes))))
+  }
+
+  /** Append a constant to an existing key.
+    * Reference: `plugins/processor/appender/processor_appender.go:31-42`. */
+  final case class Appender(key: String, value: String, sortLabels: Boolean = false) {
+    def apply(df: DataFrame): DataFrame = {
+      val appended = concat(coalesce(col(key), lit("")), lit(value))
+      val out =
+        if (sortLabels) array_join(array_sort(split(appended, "\\|")), "|")
+        else appended
+      df.withColumn(key, out)
+    }
+  }
+
+  /** Pack several columns into one JSON object column.
+    * Reference: `plugins/processor/packjson/processor_packjson.go:26-33`. */
+  final case class PackJson(sourceKeys: Seq[String], destKey: String) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey, to_json(struct(sourceKeys.map(col): _*)))
+  }
+
+  /** Substring extraction between start/stop anchors.
+    * Reference: `plugins/processor/anchor/anchor.go:46-71`. Composed from
+    * `locate`+`substring`-equivalent regex (codegen'd). */
+  final case class Anchor(
+      sourceKey: String,
+      start: String,
+      stop: String,
+      destKey: String) {
+    def apply(df: DataFrame): DataFrame = {
+      val rx = java.util.regex.Pattern.quote(start) + "(.*?)" +
+        java.util.regex.Pattern.quote(stop)
+      df.withColumn(destKey, regexp_extract(col(sourceKey), rx, 1))
+    }
+  }
+}

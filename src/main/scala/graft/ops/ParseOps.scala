@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Grok
+
+/** Parsers — the projection-producing processors of the reference
+  * (SURVEY.md §2.2), each a pure-Catalyst `DataFrame => DataFrame`.
+  * No UDFs anywhere: every extraction is `regexp_extract` / `rlike` /
+  * `get_json_object` / `from_csv` / `str_to_map` / `to_timestamp`, all
+  * codegen'd by Tungsten and safe at 10^12-row scale.
+  */
+object ParseOps {
+
+  /** Full-line regex parse.
+    *
+    * Reference: `core/plugin/processor/ProcessorParseRegexNative.cpp`
+    * — boost full match (`:187`) of `sourceKey` against `regex`, capture
+    * group i → `keys(i-1)` (`:239-241`), whole-line fast path when the
+    * regex is `(.*)` (`:63,163-167`), failure counters + keep/drop per
+    * CommonParserOptions (`:146-158`).
+    */
+  final case class RegexParser(
+      sourceKey: String,
+      regex: String,
+      keys: Seq[String],
+      opts: ParserOptions = ParserOptions()) {
+
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      if (regex == "(.*)") {
+        // Whole-line fast path: single key takes the full value.
+        opts.finish(df, sourceKey, src.isNotNull, Seq(keys.head -> src))
+      } else {
+        val anchored = s"^(?:$regex)$$"
+        val ok = src.isNotNull && src.rlike(anchored)
+        val fields = keys.zipWithIndex.map { case (k, i) =>
+          k -> regexp_extract(src, anchored, i + 1)
+        }
+        opts.finish(df, sourceKey, ok, fields)
+      }
+    }
+  }
+
+  /** Unanchored variant (Go `processor_regex` with `FullMatch=false`,
+    * `plugins/processor/regex/regex.go:35`). */
+  final case class RegexSearchParser(
+      sourceKey: String,
+      regex: String,
+      keys: Seq[String],
+      opts: ParserOptions = ParserOptions()) {
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val ok = src.isNotNull && src.rlike(regex)
+      val fields = keys.zipWithIndex.map { case (k, i) =>
+        k -> regexp_extract(src, regex, i + 1)
+      }
+      opts.finish(df, sourceKey, ok, fields)
+    }
+  }
+
+  /** JSON expand of one field into string-typed keys.
+    *
+    * Reference: `core/plugin/processor/ProcessorParseJsonNative.cpp`
+    * — top-level object only (`:164-177`), every member stringified
+    * (nested objects re-serialized compactly, `:30-52`).
+    *
+    * `get_json_object` reproduces exactly that: scalars come back as
+    * their literal text, nested objects/arrays as compact JSON — and it
+    * is codegen'd. `expandKeys` is the expected key list (schema-on-read;
+    * the reference discovers keys per-row, which a columnar engine
+    * deliberately fixes at plan time — unknown remainder available via
+    * [[JsonMapParser]]).
+    */
+  final case class JsonParser(
+      sourceKey: String,
+      expandKeys: Seq[String],
+      opts: ParserOptions = ParserOptions()) {
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      // Valid top-level JSON object: starts with '{' and parses.
+      val ok = src.isNotNull &&
+        get_json_object(src, "$").isNotNull &&
+        src.rlike("^\\s*\\{")
+      val fields = expandKeys.map { k =>
+        k -> get_json_object(src, s"$$['$k']")
+      }
+      opts.finish(df, sourceKey, ok, fields)
+    }
+  }
+
+  /** Schema-free JSON → `MapType(String,String)` column (v2 semantics,
+    * `pkg/models/logs.go:19` KeyValues). Nested values are NOT
+    * re-stringified by from_json map conversion, so this is only for flat
+    * objects; use [[JsonParser]] for parity-critical paths. */
+  final case class JsonMapParser(
+      sourceKey: String,
+      destKey: String = "fields") {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey,
+        from_json(col(sourceKey), MapType(StringType, StringType)))
+  }
+
+  /** Delimiter/CSV parse.
+    *
+    * Reference: `core/plugin/processor/ProcessorParseDelimiterNative.cpp`
+    * — single/multi-char separator (`:46-70`), quoted-field FSM
+    * (`:96-109,249`), `AllowingShortenedFields`, extra columns named
+    * `__column{N}__` (`:333`).
+    *
+    * Quote mode uses `from_csv` (Univocity, RFC-4180); plain mode uses
+    * `split` + `element_at` (codegen'd). `extraKeys` pre-declares how many
+    * overflow columns to surface (columnar engines need a fixed schema).
+    */
+  final case class DelimiterParser(
+      sourceKey: String,
+      separator: String,
+      keys: Seq[String],
+      quote: Option[String] = None,
+      allowShortenedFields: Boolean = false,
+      extraColumns: Int = 0,
+      opts: ParserOptions = ParserOptions()) {
+
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val parts: Column = quote match {
+        case Some(q) =>
+          val schema = StructType(
+            (0 until keys.size + extraColumns).map(i => StructField(s"_c$i", StringType)))
+          val parsed = from_csv(src, schema,
+            Map("sep" -> separator, "quote" -> q, "mode" -> "PERMISSIVE"))
+          array((0 until keys.size + extraColumns).map(i => parsed.getField(s"_c$i")): _*)
+        case None =>
+          split(src, java.util.regex.Pattern.quote(separator), -1)
+      }
+      val partsCol = "__parts__"
+      val d0 = df.withColumn(partsCol, parts)
+      val n = size(col(partsCol))
+      val ok = src.isNotNull &&
+        (if (allowShortenedFields) n >= 1 else n >= keys.size)
+      val named = keys.zipWithIndex.map { case (k, i) =>
+        k -> element_at(col(partsCol), i + 1)
+      }
+      val extras = (0 until extraColumns).map { j =>
+        s"__column${keys.size + j}__" -> element_at(col(partsCol), keys.size + j + 1)
+      }
+      opts.finish(d0, sourceKey, ok, named ++ extras).drop(partsCol)
+    }
+  }
+
+  /** Key=value pair splitting.
+    *
+    * Reference: `plugins/processor/split/keyvalue/key_value_splitter.go:26-43`
+    * — `Delimiter` between pairs, `Separator` between key and value,
+    * quoted values. Parsed into one `MapType` column via `str_to_map`
+    * (codegen'd); project pairs out with [[extract]].
+    */
+  final case class KeyValueParser(
+      sourceKey: String,
+      delimiter: String = "\t",
+      separator: String = ":",
+      destKey: String = "kv") {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey,
+        str_to_map(col(sourceKey),
+          lit(java.util.regex.Pattern.quote(delimiter)),
+          lit(java.util.regex.Pattern.quote(separator))))
+
+    /** Surface selected keys as typed string columns. */
+    def extract(df: DataFrame, keys: Seq[String]): DataFrame =
+      keys.foldLeft(apply(df)) { (d, k) =>
+        d.withColumn(k, element_at(col(destKey), k))
+      }
+  }
+
+  /** Apsara log format parse:
+    * `[2024-01-01 12:00:00.123456]\t[LEVEL]\t[thread]\t[file:line]\tk:v\tk:v`.
+    *
+    * Reference: `core/plugin/processor/ProcessorParseApsaraNative.cpp`
+    * — base fields `__LEVEL__/__THREAD__/__FILE__/__LINE__` (`:31-34`),
+    * `microtime` (`:229`), k:v tail (`ParseApsaraBaseFields`, `:430`).
+    */
+  final case class ApsaraParser(
+      sourceKey: String,
+      opts: ParserOptions = ParserOptions()) {
+    private val rx =
+      "^\\[([^\\]]+)\\]\\t\\[(\\w+)\\]\\t\\[(\\d+)\\]\\t\\[([^:\\]]+):(\\d+)\\](.*)$"
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val ok = src.isNotNull && src.rlike(rx)
+      val tail = regexp_extract(src, rx, 6)
+      val fields = Seq(
+        "time" -> regexp_extract(src, rx, 1),
+        "__LEVEL__" -> regexp_extract(src, rx, 2),
+        "__THREAD__" -> regexp_extract(src, rx, 3),
+        "__FILE__" -> regexp_extract(src, rx, 4),
+        "__LINE__" -> regexp_extract(src, rx, 5),
+        "microtime" -> unix_micros(to_timestamp(regexp_extract(src, rx, 1),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS")).cast(StringType),
+        "apsara_kv" -> str_to_map(regexp_replace(tail, "^\\t", ""), lit("\\t"), lit(":")))
+      opts.finish(df, sourceKey, ok, fields)
+    }
+  }
+
+  /** Timestamp parse of a string field into the event time.
+    *
+    * Reference: `core/plugin/processor/ProcessorParseTimestampNative.cpp`
+    * — strptime with `SourceFormat`, `SourceTimezone`; content kept.
+    * `format` uses Spark datetime patterns (strptime equivalents).
+    */
+  final case class TimestampParser(
+      sourceKey: String,
+      format: String,
+      destKey: String = "ts",
+      timezone: Option[String] = None) {
+    def apply(df: DataFrame): DataFrame = {
+      val parsed = try_to_timestamp(col(sourceKey), lit(format))
+      val adjusted = timezone match {
+        case Some(tz) => to_utc_timestamp(parsed, tz)
+        case None     => parsed
+      }
+      df.withColumn(destKey, adjusted)
+    }
+  }
+
+  /** Grok parse: the named-pattern dictionary is expanded to a plain Java
+    * regex at plan-build time (reference compiles at Init:
+    * `plugins/processor/grok/processor_grok.go:48-65`), then the standard
+    * regex path applies — runtime stays UDF-free and codegen'd.
+    * `matchPatterns` are tried in order, first match wins
+    * (`processGrok`, processor_grok.go:135-140).
+    */
+  final case class GrokParser(
+      sourceKey: String,
+      matchPatterns: Seq[String],
+      customPatterns: Map[String, String] = Map.empty,
+      opts: ParserOptions = ParserOptions()) {
+
+    private val compiled: Seq[(String, Seq[String])] =
+      matchPatterns.map(p => Grok.compile(p, customPatterns))
+
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      // First-match-wins across alternatives: each key's value comes from
+      // the first alternative whose regex matches the line.
+      val ok = compiled.map { case (rx, _) => src.rlike(rx) }
+        .reduce(_ || _) && src.isNotNull
+      val allKeys = compiled.flatMap(_._2).distinct
+      val fields = allKeys.map { k =>
+        val alternatives = compiled.flatMap { case (rx, keys) =>
+          val gi = keys.indexOf(k)
+          if (gi < 0) None
+          else Some(when(src.rlike(rx), regexp_extract(src, rx, gi + 1)))
+        }
+        k -> coalesce(alternatives: _*)
+      }
+      opts.finish(df, sourceKey, ok, fields)
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Routing (SURVEY.md §2.5 router + C++ §3.1 step 5) — fan-out of one
+  * stream to many sinks. Two distinct reference semantics, both kept:
+  *
+  *  1. Go `aggregator_logstore_router`: FIRST-MATCH-WINS over anchored
+  *     regexes, each row goes to exactly one sink (or default / dropped).
+  *  2. C++ `Router::Route`: MULTICAST — every matching condition gets a
+  *     copy of the row.
+  *
+  * Both are realized as a routing COLUMN (+ per-sink filters), never a
+  * driver-side loop: a single `when` chain is one codegen'd projection,
+  * and the fan-out write partitions by it — no extra shuffle.
+  */
+object RouteOps {
+
+  /** First-match-wins regex router.
+    *
+    * Reference: `plugins/aggregator/logstorerouter/aggregator_router.go:
+    * 97-136` — value of `sourceKey` matched against `rules(i).regex`
+    * ANCHORED (full match: `:99` checks indexArray spans whole value),
+    * first match wins; non-matching rows → `defaultSink` unless
+    * `dropDisMatch` (`:104-110`); missing key → default or drop
+    * (`:129-135`).
+    */
+  final case class Rule(regex: String, sink: String)
+
+  final case class LogstoreRouter(
+      sourceKey: String,
+      rules: Seq[Rule],
+      defaultSink: String = "default",
+      dropDisMatch: Boolean = false,
+      sinkCol: String = "__sink__") {
+
+    def routingColumn: Column = {
+      val src = col(sourceKey)
+      val chain = rules.foldLeft(when(lit(false), lit(null: String))) {
+        (acc, r) => acc.when(src.isNotNull && src.rlike(s"^(?:${r.regex})$$"), lit(r.sink))
+      }
+      if (dropDisMatch) chain // null → dropped
+      else chain.otherwise(lit(defaultSink))
+    }
+
+    def apply(df: DataFrame): DataFrame = {
+      val routed = df.withColumn(sinkCol, routingColumn)
+      if (dropDisMatch) routed.filter(col(sinkCol).isNotNull) else routed
+    }
+
+    /** The per-sink split (for sink-specific pipelines). */
+    def split(df: DataFrame): Map[String, DataFrame] = {
+      val routed = apply(df).cache()
+      val sinks = rules.map(_.sink) ++ (if (dropDisMatch) Nil else Seq(defaultSink))
+      sinks.distinct.map(s => s -> routed.filter(col(sinkCol) === s)).toMap
+    }
+  }
+
+  /** C++ multicast router: each sink has a Column condition; every
+    * matching sink receives the row (copies).
+    * Reference: `core/pipeline/route/Router.cpp:49-81` (all matching
+    * flushers get the group), conditions `core/pipeline/route/
+    * Condition.{h,cpp}` (event-type / tag-equality).
+    */
+  final case class MulticastRouter(conditions: Seq[(String, Column)]) {
+    /** One filtered view per sink — Catalyst shares the scan via
+      * ReuseExchange / the caller caches upstream once. */
+    def split(df: DataFrame): Map[String, DataFrame] =
+      conditions.map { case (s, c) => s -> df.filter(c) }.toMap
+
+    /** Single-pass variant: explode the matched-sink array so one write
+      * with partitionBy(sinkCol) covers all sinks (duplicate rows for
+      * multi-match, exactly the reference's copy semantics). */
+    def explodeSinks(df: DataFrame, sinkCol: String = "__sink__"): DataFrame = {
+      val arr = array(conditions.map { case (s, c) =>
+        when(c, lit(s)).otherwise(lit(null: String))
+      }: _*)
+      df.withColumn(sinkCol, explode(filter(arr, _.isNotNull)))
+    }
+  }
+}
