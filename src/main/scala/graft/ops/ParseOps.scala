@@ -140,10 +140,10 @@ object ParseOps {
       val ok = src.isNotNull &&
         (if (allowShortenedFields) n >= 1 else n >= keys.size)
       val named = keys.zipWithIndex.map { case (k, i) =>
-        k -> element_at(col(partsCol), i + 1)
+        k -> try_element_at(col(partsCol), lit(i + 1))
       }
       val extras = (0 until extraColumns).map { j =>
-        s"__column${keys.size + j}__" -> element_at(col(partsCol), keys.size + j + 1)
+        s"__column${keys.size + j}__" -> try_element_at(col(partsCol), lit(keys.size + j + 1))
       }
       opts.finish(d0, sourceKey, ok, named ++ extras).drop(partsCol)
     }
@@ -170,7 +170,7 @@ object ParseOps {
     /** Surface selected keys as typed string columns. */
     def extract(df: DataFrame, keys: Seq[String]): DataFrame =
       keys.foldLeft(apply(df)) { (d, k) =>
-        d.withColumn(k, element_at(col(destKey), k))
+        d.withColumn(k, try_element_at(col(destKey), lit(k)))
       }
   }
 

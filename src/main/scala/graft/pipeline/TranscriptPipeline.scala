@@ -48,8 +48,8 @@ object TranscriptPipeline {
       .withColumn("level", when(isJson, get_json_object(t, "$.level")))
       .withColumn("code", when(isJson, get_json_object(t, "$.code")))
       .withColumn("msg", when(isJson, get_json_object(t, "$.msg")))
-      .withColumn("kv_status", when(isKv, element_at(kvMap, "status")))
-      .withColumn("latency_ms", when(isKv, element_at(kvMap, "latency_ms")))
+      .withColumn("kv_status", when(isKv, try_element_at(kvMap, lit("status"))))
+      .withColumn("latency_ms", when(isKv, try_element_at(kvMap, lit("latency_ms"))))
       .withColumn("status_any",
         coalesce(col("status"), col("kv_status"),
           when(isCsv, regexp_extract(t, "^[^,]+,(\\d+),", 1))))

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession._
+
+class FilterFieldEnrichSpec extends AnyFunSuite {
+
+  private def df3 = {
+    val s = spark; import s.implicits._
+    Seq(
+      ("user", "hello world", "none"),
+      ("tool", "run: ls -la", "bash"),
+      ("assistant", "ERROR boom", "none")
+    ).toDF("role", "text", "tool")
+  }
+
+  test("include filter: ALL key->regex full-match required") {
+    val out = FilterOps.IncludeFilter(Map(
+      "role" -> "tool", "tool" -> "bash|python"))(df3)
+    assert(out.count() == 1)
+    // partial match must not pass (full-match anchoring)
+    assert(FilterOps.IncludeFilter(Map("role" -> "oo"))(df3).count() == 0)
+  }
+
+  test("exclude filter: ANY match drops") {
+    val out = FilterOps.ExcludeFilter(Map("role" -> "tool|assistant"))(df3)
+    assert(collectMaps(out).map(_("role")) == Seq("user"))
+  }
+
+  test("expression tree AND/OR/NOT") {
+    import FilterOps._
+    val cond = Or(Seq(
+      And(Seq(KeyRegex("role", "tool"), KeyRegex("tool", "bash"))),
+      Not(KeyRegex("text", ".*world.*"))))
+    assert(ExpressionFilter(cond)(df3).count() == 2)
+  }
+
+  test("fields with condition: first matching case wins; drop-if-not-match") {
+    import FilterOps._
+    val op = FieldsWithCondition(Seq(
+      Case(Seq(FieldCond("role", Equals, "tool")), true, Map("kind" -> "t")),
+      Case(Seq(FieldCond("text", Contains, "ERROR"),
+        FieldCond("role", StartWith, "a")), true, Map("kind" -> "err")),
+      Case(Seq(FieldCond("role", Regexp, "t.*")), true, Map("kind" -> "never"))))
+    val ms = collectMaps(op(df3))
+    assert(ms.find(_("role") == "tool").get("kind") == "t") // not 'never'
+    assert(ms.find(_("role") == "assistant").get("kind") == "err")
+    assert(ms.find(_("role") == "user").get("kind") == null)
+    assert(op.copy(dropIfNotMatch = true)(df3).count() == 2)
+  }
+
+  test("rate limit: at most N rows per fields x bucket, deterministic") {
+    val s = spark; import s.implicits._
+    val df = (0 until 10).map(i =>
+      ("k", i, java.sql.Timestamp.valueOf(f"2025-01-01 00:00:${i % 4}%02d")))
+      .toDF("role", "i", "ts")
+    val out = FilterOps.RateLimit(Seq("role"), limit = 1,
+      bucket = "1 second", tieBreak = Seq("i"))(df)
+    // 4 distinct seconds -> 4 kept
+    assert(out.count() == 4)
+    // deterministic: smallest i per second wins
+    assert(collectMaps(out).map(_("i")).toSet == Set(0, 1, 2, 3))
+  }
+
+  test("field ops: add/rename/pick/appender") {
+    val d1 = FieldOps.AddFields(Map("env" -> "prod"))(df3)
+    assert(collectMaps(d1).forall(_("env") == "prod"))
+    val d2 = FieldOps.AddFields(Map("role" -> "X"), ignoreIfExist = true)(df3)
+    assert(collectMaps(d2).head("role") != "X")
+    val d3 = FieldOps.Rename(Map("role" -> "speaker"))(df3)
+    assert(d3.columns.contains("speaker") && !d3.columns.contains("role"))
+    val d4 = FieldOps.Appender("tool", "|suffix")(df3)
+    assert(collectMaps(d4).head("tool") == "none|suffix")
+    val sorted = FieldOps.Appender("tool", "|aaa", sortLabels = true)(df3)
+    assert(collectMaps(sorted).head("tool") == "aaa|none")
+  }
+
+  test("desensitize: const global mask and md5-of-content") {
+    val s = spark; import s.implicits._
+    val df = Seq("pwd=secret1 other pwd=secret2").toDF("text")
+    val masked = FieldOps.Desensitize("text", "pwd=", "\\w+")(df)
+    assert(collectMaps(masked).head("text") ==
+      "pwd=******** other pwd=********")
+    val hashed = FieldOps.Desensitize("text", "pwd=", "secret1",
+      method = "md5")(df)
+    val got = collectMaps(hashed).head("text").asInstanceOf[String]
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("secret1".getBytes).map("%02x".format(_)).mkString
+    assert(got == s"pwd=$md5hex other pwd=secret2")
+  }
+
+  test("base64 round trip, md5, pack_json, anchor") {
+    val s = spark; import s.implicits._
+    val df = Seq(("abc", "start[MID]stop")).toDF("a", "b")
+    val enc = FieldOps.Base64Encode("a", "e")(df)
+    val dec = FieldOps.Base64Decode("e", "d")(enc)
+    assert(collectMaps(dec).head("d") == "abc")
+    val h = FieldOps.Md5("a", "h")(df)
+    assert(collectMaps(h).head("h") == "900150983cd24fb0d6963f7d28e17f72")
+    val pj = FieldOps.PackJson(Seq("a"), "j")(df)
+    assert(collectMaps(pj).head("j") == """{"a":"abc"}""")
+    val an = FieldOps.Anchor("b", "start[", "]stop", "mid")(df)
+    assert(collectMaps(an).head("mid") == "MID")
+  }
+
+  test("dict map: overwrite vs fill vs missing default; broadcast plan") {
+    val s = spark; import s.implicits._
+    val df = Seq(("bash", "old"), ("nope", "old2"), (null, "old3"))
+      .toDF("tool", "fam")
+    val dict = Map("bash" -> "exec")
+    val over = EnrichOps.DictMap(dict, "tool", "fam")(df)
+    assert(collectMaps(over).map(_("fam")) == Seq("exec", "old2", "old3"))
+    val fill = EnrichOps.DictMap(dict, "tool", "fam", mode = "fill")(df)
+    assert(collectMaps(fill).map(_("fam")) == Seq("old", "old2", "old3"))
+    val miss = EnrichOps.DictMap(dict, "tool", "fam2",
+      handleMissing = true, missing = "Unknown")(df)
+    assert(collectMaps(miss).map(_("fam2")) == Seq("exec", "Unknown", "Unknown"))
+    // physical plan must be a broadcast join (never shuffle the fact side)
+    val plan = over.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("range lookup is a broadcast range join") {
+    val s = spark; import s.implicits._
+    val facts = Seq(1L, 7L, 100L).toDF("v")
+    val ranges = Seq((0L, 5L, "low"), (5L, 50L, "mid")).toDF("lo", "hi", "tier")
+    val out = EnrichOps.RangeLookup(ranges, "v")(facts)
+    assert(collectMaps(out).map(_("tier")) == Seq("low", "mid", null))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+}
