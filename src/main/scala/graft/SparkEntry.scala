@@ -240,21 +240,69 @@ object SparkEntry {
     },
     "ann_topk" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      val dv = transform(col("embedding"), x => x.cast("double"))
-      val qd = transform(col("qv"), x => x.cast("double"))
-      val dot = aggregate(zip_with(dv, qd, (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
-      val nx = sqrt(aggregate(dv, lit(0.0), (acc, x) => acc + x * x))
-      val ny = sqrt(aggregate(qd, lit(0.0), (acc, x) => acc + x * x))
-      val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
-        .withColumn("cos", dot / (nx * ny))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-      scored.withColumn("rank",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("int"))
-        .select("rank", "vec_id")
+      SimilarityOps.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0),
+        e.filter(col("vec_id") === 0), k = 10)
+    },
+
+    // -- dedup sketches (prompt: MinHash+LSH / SimHash / Jaccard) ------------
+    "dedup_minhash" -> { (s, dir) =>
+      DedupOps.MinHashLSH(numHashes = 16, bands = 4, shingleSize = 3,
+        threshold = 0.5).pairs(tbl(s, dir, "documents"))
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      DedupOps.SimHash(bits = 32)(tbl(s, dir, "documents"))
+    },
+    "simhash_pairs" -> { (s, dir) =>
+      DedupOps.SimHash(bits = 32).pairs(tbl(s, dir, "documents"), maxDist = 3)
+    },
+    "dedup_jaccard" -> { (s, dir) =>
+      DedupOps.NgramJaccard(shingleSize = 3, threshold = 0.2)
+        .pairs(tbl(s, dir, "documents"))
+    },
+    "embed_neardup" -> { (s, dir) =>
+      SimilarityOps.EmbedNearDup(threshold = 0.35)
+        .pairs(tbl(s, dir, "embeddings"))
+    },
+    "ann_lsh" -> { (s, dir) =>
+      val e = tbl(s, dir, "embeddings")
+      SimilarityOps.SignLsh(planes = 8, dims = 64)
+        .topK(e, e.filter(col("vec_id") === 0), k = 10)
+    },
+
+    // -- text analysis (prompt: tokens / quality / lang-id / fingerprint) ----
+    "token_bpe" -> { (s, dir) =>
+      TextOps.tokenCounts(tbl(s, dir, "documents"))
+    },
+    "quality_features" -> { (s, dir) =>
+      TextOps.qualityFeatures(tbl(s, dir, "documents"))
+    },
+    "lang_id_argmax" -> { (s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+    },
+    "fingerprint_bottomk" -> { (s, dir) =>
+      TextOps.BottomKFingerprint(gram = 8, sketchSize = 8)(
+        tbl(s, dir, "documents"))
+        .select(col("doc_id"), array_join(col("fp"), ",").as("fp"))
+    },
+
+    // -- multimodal plumbing (prompt: binary cols + batched decode) ----------
+    "multimodal_decode" -> { (s, dir) =>
+      val withBin = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      MultimodalOps.decode(withBin, "payload").select(
+        col("doc_id"), col("width"), col("height"), col("channels"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"),
+        round(element_at(col("features"), 3), 6).as("f2"))
+    },
+    "frame_sample" -> { (s, dir) =>
+      val vids = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          (pmod(col("n_chars"), lit(30)) + 1).cast("int").as("n_frames"))
+      MultimodalOps.sampleFrames(vids, "n_frames", stride = 3)
+        .select("doc_id", "frame_idx")
     }
   )
 
@@ -443,6 +491,178 @@ object SparkEntry {
 
       "fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           FROM documents""",
+
+      "dedup_minhash" ->
+        """WITH toks AS (
+             SELECT doc_id, str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w FROM documents
+           ), sh AS (
+             SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingles
+             FROM toks WHERE len(w) >= 3
+           ), sig AS (
+             SELECT doc_id, list_transform(range(0, 16), k ->
+               list_min(list_transform(shingles, s -> cast(('0x' || substr(md5(s || ':' || k), 1, 8)) AS BIGINT)))) AS mh
+             FROM sh
+           ), bands AS (
+             SELECT doc_id, mh, unnest(range(0, 4)) AS band FROM sig
+           ), bucketed AS (
+             SELECT doc_id, mh, band, md5(array_to_string(mh[band*4+1:band*4+4], ',')) AS bucket FROM bands
+           ), cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh AS ma, b.mh AS mb
+             FROM bucketed a JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           )
+           SELECT doc_a, doc_b,
+             round(len(list_filter(range(0,16), i -> ma[i+1] = mb[i+1])) / 16.0, 4) AS est_jaccard
+           FROM cand WHERE len(list_filter(range(0,16), i -> ma[i+1] = mb[i+1])) >= 8""",
+
+      "dedup_simhash" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok FROM documents
+           ), th AS (
+             SELECT doc_id, cast(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+           ), bits AS (
+             SELECT doc_id, b, sum(CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th, (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b
+           )
+           SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id""",
+
+      "simhash_pairs" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok FROM documents
+           ), th AS (
+             SELECT doc_id, cast(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+           ), bits AS (
+             SELECT doc_id, b, sum(CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th, (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b
+           ), sh AS (
+             SELECT doc_id, cast(sum(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash
+             FROM bits GROUP BY doc_id
+           )
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             cast(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+      "dedup_jaccard" ->
+        """WITH toks AS (
+             SELECT doc_id, str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w FROM documents
+           ), sh AS (
+             SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingles
+             FROM toks WHERE len(w) >= 3
+           ), ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+           inter AS (
+             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, any_value(a.n) AS na, any_value(b.n) AS nb, count(*) AS i
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+           )
+           SELECT doc_a, doc_b, round(i / (na + nb - i), 4) AS jaccard
+           FROM inter WHERE i / (na + nb - i) >= 0.2""",
+
+      "embed_neardup" ->
+        """WITH z AS (
+             SELECT e.vec_id AS va, f.vec_id AS vb, unnest(e.embedding) AS x, unnest(f.embedding) AS y
+             FROM embeddings e JOIN embeddings f ON e.vec_id < f.vec_id
+           ), s AS (
+             SELECT va, vb, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM z GROUP BY va, vb
+           )
+           SELECT va AS vec_a, vb AS vec_b, round(dot/(nx*ny), 4) AS cos
+           FROM s WHERE round(dot/(nx*ny), 4) >= 0.35""",
+
+      "ann_lsh" ->
+        """WITH planes AS (
+             SELECT p.p, d.d,
+               CASE WHEN cast(('0x' || substr(md5(p.p || ':' || d.d), 1, 1)) AS BIGINT) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS w
+             FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS d) d
+           ), proj AS (
+             SELECT e.vec_id, pl.p, sum(cast(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS s
+             FROM embeddings e, planes pl GROUP BY 1, 2
+           ), sig AS (
+             SELECT vec_id, cast(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS b
+             FROM proj GROUP BY 1
+           ), qb AS (SELECT b FROM sig WHERE vec_id = 0),
+           qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+           cand AS (
+             SELECT e.vec_id, e.embedding FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id, qb
+             WHERE s.b = qb.b
+           ), z AS (
+             SELECT c.vec_id, unnest(c.embedding) AS x, unnest(qv.v) AS y FROM cand c, qv
+           ), sc AS (
+             SELECT vec_id, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM z GROUP BY vec_id
+           )
+           SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
+           FROM sc ORDER BY 1 LIMIT 10""",
+
+      "token_bpe" ->
+        """SELECT doc_id,
+             cast(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+             cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens,
+             cast(length(text) AS INT) AS n_chars
+           FROM documents""",
+
+      "quality_features" ->
+        """WITH w AS (
+             SELECT doc_id, length(text) AS chars, text,
+               str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words
+             FROM documents)
+           SELECT doc_id,
+             cast(chars AS INT) AS n_chars,
+             cast(len(words) AS INT) AS n_words,
+             round(chars / len(words), 4) AS mean_word_len,
+             round(len(list_distinct(words)) / len(words), 4) AS type_token_ratio,
+             round((chars - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / chars, 4) AS punct_ratio,
+             round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / chars, 4) AS alpha_ratio
+           FROM w""",
+
+      "lang_id_argmax" ->
+        """WITH w AS (
+             SELECT doc_id, str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents
+           ), sc AS (
+             SELECT doc_id,
+               len(list_filter(words, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS se,
+               len(list_filter(words, x -> x IN ('el', 'la', 'de', 'que', 'y'))) AS ss,
+               len(list_filter(words, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS sd,
+               len(list_filter(words, x -> x IN ('的', '是', '在', '了', '和'))) AS sz
+             FROM w)
+           SELECT doc_id,
+             CASE WHEN greatest(se, ss, sd, sz) <= 0 THEN 'unk'
+                  WHEN se = greatest(se, ss, sd, sz) THEN 'en'
+                  WHEN ss = greatest(se, ss, sd, sz) THEN 'es'
+                  WHEN sd = greatest(se, ss, sd, sz) THEN 'de'
+                  WHEN sz = greatest(se, ss, sd, sz) THEN 'zh'
+                  ELSE 'unk' END AS lang_guess
+           FROM sc""",
+
+      "fingerprint_bottomk" ->
+        """WITH n AS (
+             SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+           ), g AS (
+             SELECT doc_id, list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+               i -> substr(t, i, 8)) AS grams
+             FROM n)
+           SELECT doc_id, array_to_string(
+             list_sort(list_distinct(list_transform(grams,
+               g -> cast(('0x' || substr(md5(g), 1, 8)) AS BIGINT))))[1:8], ',') AS fp
+           FROM g""",
+
+      "multimodal_decode" ->
+        """SELECT doc_id,
+             cast(cast(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 512 + 16 AS INT) AS width,
+             cast(cast(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 512 + 16 AS INT) AS height,
+             3 AS channels,
+             round(cast(('0x' || substr(md5(text), 9, 8)) AS BIGINT) / 4294967295.0, 6) AS f0,
+             round(cast(('0x' || substr(md5(text), 17, 8)) AS BIGINT) / 4294967295.0, 6) AS f1,
+             round(cast(('0x' || substr(md5(text), 25, 8)) AS BIGINT) / 4294967295.0, 6) AS f2
+           FROM documents""",
+
+      "frame_sample" ->
+        """SELECT doc_id, cast(unnest(range(0, n_chars % 30 + 1, 3)) AS INT) AS frame_idx
            FROM documents""",
 
       "ann_topk" ->

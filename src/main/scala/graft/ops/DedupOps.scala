@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Training-data deduplication operators over a `documents`-shaped table
+  * (`doc_id`, `text`). Four tiers, coarsest→finest:
+  *
+  *  1. exact (md5 groupBy) — one shuffle on the fingerprint;
+  *  2. MinHash + LSH banding — the 100 TB near-dup path: signatures are
+  *     per-row projections (no shuffle), candidate generation is ONE
+  *     shuffle on `(band, bucket)`, and only bucket-colliding pairs are
+  *     compared. All-pairs work never happens;
+  *  3. SimHash — a single 32/64-bit sketch per document, Hamming-ball
+  *     lookup by bucketing on bit-slices;
+  *  4. exact n-gram Jaccard — inverted-index self-join on shingles;
+  *     quadratic in the worst case, used to verify the sketch tiers at
+  *     small scale (and with a frequency cap on hot shingles at scale).
+  *
+  * All signatures are pure Catalyst higher-order-function expressions
+  * (`transform`/`aggregate`/`array_min`) — no UDFs, no RDDs — so they run
+  * inside the projection that reads the parquet scan.
+  */
+object DedupOps {
+
+  /** Normalized word array of `textCol` (lower, whitespace-collapsed). */
+  def words(textCol: Column): Column =
+    split(regexp_replace(lower(textCol), "\\s+", " "), " ")
+
+  /** Distinct word `n`-gram shingles. Requires `size(words) >= n`. */
+  def shingles(wordsCol: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(wordsCol) - (n - 1)),
+      i => concat_ws(" ", slice(wordsCol, i, lit(n)))))
+
+  /** Exact dedup: group identical (md5) texts, keep the smallest id. */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash signature + LSH banding near-duplicate detection.
+    *
+    * `numHashes` independent permutations approximated by salted hashes;
+    * `bands` bands of `numHashes/bands` rows each: documents sharing any
+    * band bucket become candidate pairs (classic banding: a pair with
+    * Jaccard j collides w.p. 1-(1-j^r)^b). Estimated Jaccard = fraction
+    * of equal signature slots; pairs below `threshold` are discarded.
+    *
+    * Scale shape: signature computation is embarrassingly parallel; the
+    * only shuffle is the band-bucket self-join, whose fan-out is bounded
+    * by bucket occupancy, not n². Hot buckets (boilerplate docs) should
+    * be capped with a count filter at 100 TB — see `maxBucketSize`.
+    */
+  final case class MinHashLSH(
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 0, // 0 = unlimited (verification); >0 caps hot buckets
+      portable: Boolean = true) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    private val rows = numHashes / bands
+
+    private def h(s: Column, k: Int): Column =
+      if (portable) PortableHash.md32(s, k) else PortableHash.fast32(s, k)
+
+    /** (idCol, mh: array<long>) — one row per doc with its signature. */
+    def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val w = words(col(textCol))
+      df.select(col(idCol), shingles(w, shingleSize).as("__sh__"))
+        .where(size(col("__sh__")) > 0)
+        .select(col(idCol), array(
+          (0 until numHashes).map(k =>
+            array_min(transform(col("__sh__"), s => h(s, k)))): _*).as("mh"))
+    }
+
+    /** (idCol, mh, band, bucket) — exploded LSH bands. */
+    def banded(sig: DataFrame, idCol: String): DataFrame = {
+      val d = sig.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      d.withColumn("bucket",
+        md5(concat(col("band").cast("string"), lit("|"),
+          array_join(slice(col("mh"), col("band") * rows + 1, lit(rows)), ","))
+          .cast("binary")))
+    }
+
+    /** Candidate pairs with estimated Jaccard ≥ threshold:
+      * (doc_a, doc_b, est_jaccard). */
+    def pairs(df: DataFrame, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame = {
+      val sig = signatures(df, idCol, textCol)
+      val b0 = banded(sig, idCol)
+      val b = if (maxBucketSize > 0) {
+        // cap hot buckets: boilerplate-heavy corpora otherwise quadratic
+        val counts = b0.groupBy("band", "bucket").count()
+          .where(col("count") <= maxBucketSize).drop("count")
+        b0.join(counts, Seq("band", "bucket"))
+      } else b0
+      val a = b.select(col(idCol).as("doc_a"), col("mh").as("ma"),
+        col("band"), col("bucket"))
+      val c = b.select(col(idCol).as("doc_b"), col("mh").as("mb"),
+        col("band"), col("bucket"))
+      val matches = size(filter(
+        zip_with(col("ma"), col("mb"), (x, y) => (x === y).cast("int")),
+        v => v === 1))
+      a.join(c, Seq("band", "bucket")).where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ma"), col("mb")).distinct()
+        .withColumn("est_jaccard",
+          round(matches.cast("double") / numHashes, 4))
+        .where(col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    }
+  }
+
+  /** SimHash document sketch: each token votes ±1 on `bits` bit
+    * positions according to its hash; positive sums become 1-bits.
+    * Near-duplicates have small Hamming distance. Computed per-row with
+    * one `aggregate` over the token array — zero shuffle.
+    */
+  final case class SimHash(bits: Int = 32, portable: Boolean = true) {
+    require(bits <= 62)
+
+    private def h(s: Column): Column =
+      if (portable) PortableHash.md32(s) else PortableHash.fast32(s, 0)
+
+    /** long column: the simhash of `textCol`. */
+    def sketch(textCol: Column): Column = {
+      val toks = words(textCol)
+      // per-token ±1 votes summed per bit, then sign → bit
+      // pow(2,b) on b<=62 is exact in doubles; Scala's shiftleft/shiftright
+      // only accept Int literals, so bit tests use exact 2^b arithmetic.
+      val sums = aggregate(
+        toks,
+        array_repeat(lit(0L), bits),
+        (acc, t) => {
+          val hv = h(t)
+          zip_with(acc, sequence(lit(0), lit(bits - 1)),
+            (a, b) => a + when(
+              pmod(floor(hv / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1,
+              lit(1L)).otherwise(lit(-1L)))
+        })
+      aggregate(
+        zip_with(sums, sequence(lit(0), lit(bits - 1)),
+          (s, b) => when(s > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    }
+
+    def apply(df: DataFrame, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      df.select(col(idCol), sketch(col(textCol)).as("simhash"))
+
+    /** Hamming distance between two sketch columns. */
+    def hamming(a: Column, b: Column): Column =
+      bit_count(a.bitwiseXOR(b))
+
+    /** Near-dup pairs with Hamming distance ≤ maxDist, candidate-joined
+      * on bit-slice buckets (pigeonhole: distance ≤ k ⇒ some one of k+1
+      * slices equal) — the scalable SimHash join. */
+    def pairs(df: DataFrame, maxDist: Int, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame = {
+      val slices = maxDist + 1
+      val width = bits / slices
+      val sk = apply(df, idCol, textCol)
+      val sliced = sk.withColumn("slice",
+          explode(sequence(lit(0), lit(slices - 1))))
+        .withColumn("key", pmod(
+          floor(col("simhash") / pow(lit(2.0), col("slice") * width))
+            .cast("long"),
+          lit(1L << width)))
+      val a = sliced.select(col(idCol).as("doc_a"), col("simhash").as("sa"),
+        col("slice"), col("key"))
+      val b = sliced.select(col(idCol).as("doc_b"), col("simhash").as("sb"),
+        col("slice"), col("key"))
+      a.join(b, Seq("slice", "key")).where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb").distinct()
+        .withColumn("dist", hamming(col("sa"), col("sb")).cast("int"))
+        .where(col("dist") <= maxDist)
+        .select("doc_a", "doc_b", "dist")
+    }
+  }
+
+  /** Exact n-gram Jaccard similarity via inverted-index self-join:
+    * explode shingles, equi-join on shingle, count intersections, then
+    * |A∩B| / (|A|+|B|-|A∩B|). The ground-truth tier for the sketches.
+    */
+  final case class NgramJaccard(shingleSize: Int = 3, threshold: Double = 0.2) {
+    def pairs(df: DataFrame, idCol: String = "doc_id",
+        textCol: String = "text"): DataFrame = {
+      val sh = df
+        .select(col(idCol), shingles(words(col(textCol)), shingleSize).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col(idCol), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+      val a = sh.select(col(idCol).as("doc_a"), col("n").as("na"), col("s"))
+      val b = sh.select(col(idCol).as("doc_b"), col("n").as("nb"), col("s"))
+      a.join(b, "s").where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(first("na").as("na"), first("nb").as("nb"),
+          count(lit(1)).as("i"))
+        .withColumn("jaccard", round(
+          col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+        .where(col("i").cast("double") / (col("na") + col("nb") - col("i"))
+          >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
+  }
+}

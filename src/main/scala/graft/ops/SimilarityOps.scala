@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Tiers:
+  *  - brute-force cosine top-k: exact baseline — one broadcast of the
+  *    query vector, one pass over the corpus, `TakeOrderedAndProject`
+  *    physical top-k (no full sort);
+  *  - sign-LSH (random hyperplanes): each vector gets a small bucket id
+  *    from the signs of `planes` fixed pseudo-random projections;
+  *    candidates = same bucket → exact rerank. At 100 TB the bucket id
+  *    is a partition/bucketing column, so a query touches one bucket,
+  *    not the corpus. Multi-probe = OR over neighboring buckets.
+  *  - pairwise near-dup: all candidate pairs with cosine ≥ τ, for
+  *    embedding-based dedup; exact (verification tier) or LSH-bucketed.
+  *
+  * Hyperplane weights are ±1 derived from md5 at PLAN TIME (driver-side
+  * constants, [[PortableHash.md5Hex]]), so the same buckets are
+  * reproducible in any engine — and the per-row cost is a fused
+  * multiply-add over the array, no hashing at runtime.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two equally-sized numeric array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k by cosine against one query vector (broadcast). */
+  def bruteForceTopK(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = query.select(col(vecCol).as("__qv__"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+    scored.withColumn("rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col(idCol))).cast("int"))
+      .select(col("rank"), col(idCol))
+  }
+
+  /** Sign-LSH over `planes` fixed hyperplanes with ±1 weights derived
+    * deterministically from md5(plane:dim) parity. */
+  final case class SignLsh(planes: Int = 8, dims: Int = 64) {
+    require(planes <= 30)
+
+    /** Plan-time weight matrix: w(p)(d) ∈ {-1,+1}. */
+    val weights: Array[Array[Double]] =
+      Array.tabulate(planes, dims) { (p, d) =>
+        val hex = PortableHash.md5Hex(s"$p:$d")
+        if ((Integer.parseInt(hex.substring(0, 1), 16) & 1) == 1) 1.0 else -1.0
+      }
+
+    /** Bucket id column: bit p set iff dot(vec, w_p) > 0. */
+    def bucket(vecCol: Column): Column = {
+      val bits = (0 until planes).map { p =>
+        val w = array(weights(p).map(lit): _*)
+        val dot = aggregate(
+          zip_with(transform(vecCol, x => x.cast("double")), w,
+            (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    /** ANN top-k: restrict to the query's bucket, exact cosine rerank.
+      * Returns (rank, idCol) like the brute-force tier. */
+    def topK(corpus: DataFrame, query: DataFrame, k: Int,
+        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      val q = query.select(col(vecCol).as("__qv__"),
+        bucket(col(vecCol)).as("__qb__"))
+      val cand = corpus.withColumn("__b__", bucket(col(vecCol)))
+        .join(broadcast(q), col("__b__") === col("__qb__"))
+      val scored = cand
+        .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+      scored.withColumn("rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col(idCol))).cast("int"))
+        .select(col("rank"), col(idCol))
+    }
+  }
+
+  /** Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) with
+    * rounded cosine ≥ threshold.
+    *
+    * `exact = true` compares all pairs (verification tier, O(n²) —
+    * fine at test scale). `exact = false` restricts candidates to pairs
+    * sharing a SignLsh bucket first — the 100 TB path (the self-join key
+    * is the bucket id, so the shuffle fans out per-bucket, not n²).
+    */
+  final case class EmbedNearDup(threshold: Double, exact: Boolean = true,
+      lsh: SignLsh = SignLsh()) {
+    def pairs(df: DataFrame, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame = {
+      val base = if (exact) {
+        val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+        val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+      } else {
+        val withB = df.withColumn("__b__", lsh.bucket(col(vecCol)))
+        val a = withB.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+          col("__b__"))
+        val b = withB.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+          col("__b__"))
+        a.join(b, Seq("__b__")).where(col("vec_a") < col("vec_b"))
+          .select("vec_a", "va", "vec_b", "vb")
+      }
+      base.withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+        .where(col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    }
+  }
+}

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Training-data curation operators: dedup sketches, similarity search,
+  * text analysis, multimodal plumbing. */
+class DatasetOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("minhash-lsh: identical docs pair with est_jaccard 1.0; disjoint docs don't pair") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine")
+    val p = DedupOps.MinHashLSH(16, 4, 3, 0.5).pairs(d).collect()
+    assert(p.length == 1)
+    assert(p.head.getLong(0) == 1L && p.head.getLong(1) == 2L)
+    assert(p.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash-lsh: near-duplicate (one word changed) still pairs above threshold") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w15", "xx")
+    val p = DedupOps.MinHashLSH(16, 4, 3, 0.3).pairs(docs(1L -> base, 2L -> edited))
+      .collect()
+    assert(p.length == 1 && p.head.getDouble(2) >= 0.3)
+  }
+
+  test("minhash-lsh: maxBucketSize caps hot buckets") {
+    // 5 identical docs -> every band bucket has 5 members; cap at 4 kills all
+    val d = docs((1L to 5L).map(i => i -> "a b c d e f g h i j"): _*)
+    val capped = DedupOps.MinHashLSH(16, 4, 3, 0.5, maxBucketSize = 4).pairs(d)
+    assert(capped.count() == 0)
+    val uncapped = DedupOps.MinHashLSH(16, 4, 3, 0.5).pairs(d)
+    assert(uncapped.count() == 10) // C(5,2)
+  }
+
+  test("simhash: identical text -> distance 0; heavy edit -> larger distance than light edit") {
+    val sh = DedupOps.SimHash(32)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val light = base.replace("tok7", "zz")
+    val heavy = (1 to 40).map(i => s"other$i").mkString(" ")
+    val d = sh(docs(1L -> base, 2L -> base, 3L -> light, 4L -> heavy))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(d(a) ^ d(b))
+    assert(dist(1, 2) == 0)
+    assert(dist(1, 3) < dist(1, 4))
+  }
+
+  test("simhash pairs: slice-join finds ALL pairs within maxDist (vs brute force)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 50).map(i => s"v$i")
+    val rows = (1L to 40L).map { i =>
+      i -> Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val d = docs(rows: _*)
+    val sh = DedupOps.SimHash(32)
+    val viaJoin = sh.pairs(d, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sk = sh(d).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sk; (b, hb) <- sk if a < b
+      dist = java.lang.Long.bitCount(ha ^ hb) if dist <= 3
+    } yield (a, b, dist)).toSet
+    assert(viaJoin == brute)
+  }
+
+  test("ngram jaccard: exact value on known overlap") {
+    // shingles of "a b c d": {abc, bcd}; of "a b c e": {abc, bce}
+    // intersection 1, union 3 -> 1/3
+    val p = DedupOps.NgramJaccard(3, 0.1)
+      .pairs(docs(1L -> "a b c d", 2L -> "a b c e")).collect()
+    assert(p.length == 1)
+    assert(math.abs(p.head.getDouble(2) - 0.3333) < 1e-9)
+  }
+
+  test("embed near-dup: finds identical vectors at cos 1.0; excludes orthogonal") {
+    val e = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val p = SimilarityOps.EmbedNearDup(0.9).pairs(e).collect()
+    assert(p.length == 1 && p.head.getLong(0) == 1L && p.head.getLong(1) == 2L)
+    assert(p.head.getDouble(2) == 1.0)
+  }
+
+  test("embed near-dup LSH tier: identical vectors share a bucket and pair up") {
+    val lsh = SimilarityOps.SignLsh(planes = 8, dims = 4)
+    val e = Seq(
+      (1L, Seq(0.5f, -0.25f, 1f, 0.125f)),
+      (2L, Seq(0.5f, -0.25f, 1f, 0.125f)),
+      (3L, Seq(-0.5f, 0.25f, -1f, -0.125f))).toDF("vec_id", "embedding")
+    val p = SimilarityOps.EmbedNearDup(0.9, exact = false, lsh = lsh)
+      .pairs(e).collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("sign-lsh ann: identical corpus vector ranks first in the query bucket") {
+    val lsh = SimilarityOps.SignLsh(planes = 4, dims = 4)
+    val corpus = Seq(
+      (10L, Seq(1f, 2f, 3f, 4f)),
+      (11L, Seq(1f, 2f, 3f, 4.01f)),
+      (12L, Seq(-1f, -2f, -3f, -4f))).toDF("vec_id", "embedding")
+    val query = Seq((0L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val top = lsh.topK(corpus, query, 3).collect()
+    assert(top.head.getInt(0) == 1 && top.head.getLong(1) == 10L)
+    // opposite-sign vector is in the complementary bucket -> not a candidate
+    assert(!top.map(_.getLong(1)).contains(12L))
+  }
+
+  test("token counts: whitespace vs bpe-ish tokens") {
+    val d = docs(1L -> "hello, world! x2")
+    val r = TextOps.tokenCounts(d).collect().head
+    assert(r.getInt(1) == 3) // ws tokens: hello, / world! / x2
+    // bpe: hello , world ! x 2
+    assert(r.getInt(2) == 6)
+    assert(r.getInt(3) == 16)
+  }
+
+  test("quality features: ratios on a known string") {
+    val d = docs(1L -> "aa bb aa")
+    val r = TextOps.qualityFeatures(d).collect().head
+    assert(r.getInt(1) == 8 && r.getInt(2) == 3)
+    assert(math.abs(r.getDouble(4) - 0.6667) < 1e-9) // 2 distinct / 3
+    assert(r.getDouble(5) == 0.0) // no punct
+  }
+
+  test("lang id: marker argmax with declared-order tie-break and unk fallback") {
+    val d = docs(
+      1L -> "the cat of the house is big",
+      2L -> "el gato de la casa que es",
+      3L -> "der hund und die katze ist",
+      4L -> "qqq www eee")
+    val r = d.select(col("doc_id"), TextOps.langId(col("text")).as("g"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "unk"))
+  }
+
+  test("bottom-k fingerprint: stable under whitespace noise, differs across docs") {
+    val fp = TextOps.BottomKFingerprint(8, 8)
+    val a = fp(docs(1L -> "the quick brown fox jumps over dogs",
+      2L -> "the  quick   brown fox jumps over dogs",
+      3L -> "completely different text payload here")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a(1L) == a(2L))
+    assert(a(1L) != a(3L))
+    assert(a(1L).length == 8 && a(1L) == a(1L).sorted)
+  }
+
+  test("multimodal decode: deterministic fake decode, null passthrough, batching") {
+    val d = Seq(
+      (1L, "payload-one"), (2L, "payload-two"), (3L, null)
+    ).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    val out = MultimodalOps.decode(d, "payload", batchSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val r1 = out(0)
+    // matches md5("payload-one") derivation
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("payload-one".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r1.getInt(2) == (java.lang.Long.parseLong(h.substring(0, 4), 16) % 512 + 16).toInt)
+    assert(r1.getInt(4) == 3)
+    assert(r1.getSeq[Double](5).length == 3)
+    // null payload -> null decode columns, row preserved
+    assert(out(2).isNullAt(2) && out(2).isNullAt(5))
+  }
+
+  test("frame sample: every stride-th frame, n>=1 guard") {
+    val d = Seq((1L, 7), (2L, 1)).toDF("doc_id", "n_frames")
+    val out = MultimodalOps.sampleFrames(d, "n_frames", 3)
+      .select("doc_id", "frame_idx").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out(1L) == Seq(0, 3, 6))
+    assert(out(2L) == Seq(0))
+  }
+
+  test("dedup sketches run UDF-free (no ScalaUDF in the plan)") {
+    val d = docs(1L -> "a b c d e f")
+    val plans = Seq(
+      DedupOps.MinHashLSH(16, 4, 3).pairs(d),
+      DedupOps.SimHash(32)(d),
+      TextOps.qualityFeatures(d))
+    plans.foreach { p =>
+      val s = p.queryExecution.optimizedPlan.toString
+      assert(!s.contains("UDF"), s"plan contains UDF:\n$s")
+    }
+  }
+}
