@@ -1,0 +1,42 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.AggOps
+import graft.pipeline.TranscriptPipeline
+import graft.sink.{FanOutWriter, TableIO}
+
+/** Batch job entry: transcripts → parse → enrich → route → resumable
+  * fan-out write → per-sink aggregates (the full north-star pipeline as
+  * one run).
+  *
+  * Resume contract: `run(runId)` may be invoked any number of times
+  * after any partial failure; completed (sink, bucket) partitions are
+  * skipped via the lineage table, incomplete ones are idempotently
+  * re-overwritten. After the data write completes, the aggregates table
+  * is recomputed FROM THE DURABLY WRITTEN routed table (not the input),
+  * so aggregates always reflect exactly what the sinks contain.
+  */
+object PipelineRunner {
+
+  final case class RunResult(runId: String, bucketsWritten: Int,
+    complete: Boolean)
+
+  def run(input: DataFrame, io: TableIO, runId: String,
+      numBuckets: Int = 32, maxBuckets: Int = Int.MaxValue,
+      aggBucket: String = "hour"): RunResult = {
+    val spark = input.sparkSession
+    val routed = TranscriptPipeline(input)
+    val writer = FanOutWriter(io, numBuckets = numBuckets)
+
+    val written = writer.write(routed, runId, maxBuckets)
+
+    if (maxBuckets == Int.MaxValue) {
+      // aggregates from the durably written table
+      val back = io.read(spark, writer.table)
+      val aggs = AggOps.sinkAggregates(back, bucket = aggBucket)
+      io.overwrite(aggs, "sink_aggregates")
+      RunResult(runId, written, complete = true)
+    } else RunResult(runId, written, complete = false)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-shaped table layer over parquet directories.
+  *
+  * No Iceberg runtime jar exists in this sandbox (verified against
+  * /opt/spark/jars), so this layer supplies the Iceberg semantics the
+  * pipeline actually relies on — partitioned appends, idempotent
+  * overwrite-by-partition (the Iceberg `overwritePartitions` /
+  * `replaceWhere` contract), snapshot-ish metadata via the lineage table
+  * ([[Lineage]]) — behind one small surface, so a real Iceberg catalog
+  * (`df.writeTo(t).overwritePartitions()`) drops in without touching
+  * operator code.
+  *
+  * Batching parity with the reference sink
+  * (`core/plugin/flusher/sls/FlusherSLS.cpp:46-59`: ≤4000 logs per
+  * LogGroup): `maxRecordsPerFile` bounds rows per written file; parquet
+  * zstd replaces the reference's LZ4 group compression
+  * (`core/common/compression/`).
+  */
+final case class TableIO(root: String,
+    maxRecordsPerFile: Long = 4000,
+    compression: String = "zstd") {
+
+  def path(table: String): String = s"$root/$table"
+
+  private def writer(df: DataFrame) =
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", compression)
+
+  /** Plain append (new files, new data). */
+  def append(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = writer(df).mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path(table))
+  }
+
+  /** Idempotent overwrite of exactly the partitions present in `df`
+    * (dynamic partition overwrite — Iceberg's `overwritePartitions`).
+    * Re-writing the same logical partition replaces, never duplicates:
+    * this is what makes checkpoint resume exactly-once at the partition
+    * granularity. */
+  def overwritePartitions(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      writer(df).mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(path(table))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Full overwrite (small control tables only). */
+  def overwrite(df: DataFrame, table: String): Unit =
+    writer(df).mode("overwrite").parquet(path(table))
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  def exists(spark: SparkSession, table: String): Boolean =
+    new java.io.File(path(table)).exists()
+}

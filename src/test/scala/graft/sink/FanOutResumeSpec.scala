@@ -1,0 +1,92 @@
+package graft.sink
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.pipeline.TranscriptPipeline
+import graft.run.PipelineRunner
+import graft.sources.Transcripts
+
+/** Fan-out write + lineage checkpoint + idempotent resume (north rule:
+  * kill mid-run → rerun → byte-identical sinks). */
+class FanOutResumeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  private def input = Transcripts.generate(spark, 300, seed = 7)
+
+  private def routedFingerprint(dir: String): (Long, Long) = {
+    val back = spark.read.parquet(s"$dir/events_routed")
+    val cols = back.columns.sorted.map(c => col(c).cast("string"))
+    val r = back.select(xxhash64(cols: _*).as("h"))
+      .agg(count(lit(1)), bit_xor(col("h"))).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("full run writes every routed row exactly once, partitioned by sink/bucket") {
+    val dir = tmp()
+    val res = PipelineRunner.run(input, TableIO(dir), "run-a", numBuckets = 8)
+    assert(res.complete)
+    val back = spark.read.parquet(s"$dir/events_routed")
+    assert(back.count() == TranscriptPipeline(input).count())
+    assert(back.select("__sink__").distinct().collect().map(_.getString(0)).toSet
+      == Set("sink_llm", "sink_infra", "sink_user"))
+    // lineage has one row per (sink, bucket) partition with counts
+    val lin = spark.read.parquet(s"$dir/_lineage")
+    val linTotal = lin.agg(sum("n_rows")).collect().head.getLong(0)
+    assert(linTotal == back.count())
+    // pack ids deterministic + unique per coordinate
+    assert(lin.select("pack_id").distinct().count() == lin.count())
+  }
+
+  test("partial run + resume == clean one-shot run (byte-identical sinks)") {
+    val dirA = tmp(); val dirB = tmp()
+    // clean one-shot
+    PipelineRunner.run(input, TableIO(dirA), "run-clean", numBuckets = 8)
+    // crash after 5 of ~24 (sink,bucket) partitions
+    val r1 = PipelineRunner.run(input, TableIO(dirB), "run-crash",
+      numBuckets = 8, maxBuckets = 5)
+    assert(!r1.complete && r1.bucketsWritten == 5)
+    // resume to completion
+    val r2 = PipelineRunner.run(input, TableIO(dirB), "run-crash", numBuckets = 8)
+    assert(r2.complete)
+    assert(routedFingerprint(dirA) == routedFingerprint(dirB))
+  }
+
+  test("re-running a completed run is a no-op (idempotent)") {
+    val dir = tmp()
+    PipelineRunner.run(input, TableIO(dir), "run-x", numBuckets = 8)
+    val fp1 = routedFingerprint(dir)
+    val res = PipelineRunner.run(input, TableIO(dir), "run-x", numBuckets = 8)
+    assert(res.bucketsWritten == 0)
+    assert(routedFingerprint(dir) == fp1)
+    // lineage not duplicated
+    val lin = spark.read.parquet(s"$dir/_lineage")
+    assert(lin.select("sink", "bucket").distinct().count() == lin.count())
+  }
+
+  test("aggregates table reflects exactly the written sinks") {
+    val dir = tmp()
+    PipelineRunner.run(input, TableIO(dir), "run-agg", numBuckets = 8)
+    val aggs = spark.read.parquet(s"$dir/sink_aggregates")
+    val total = aggs.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == spark.read.parquet(s"$dir/events_routed").count())
+  }
+
+  test("maxRecordsPerFile bounds rows per file (LogGroup batching parity)") {
+    val dir = tmp()
+    val io = TableIO(dir, maxRecordsPerFile = 200)
+    PipelineRunner.run(input, io, "run-files", numBuckets = 2)
+    val files = new java.io.File(s"$dir/events_routed")
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquetFiles)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val perFile = parquetFiles(files).map { f =>
+      spark.read.parquet(f.getAbsolutePath).count()
+    }
+    assert(perFile.nonEmpty && perFile.forall(_ <= 200))
+  }
+}
