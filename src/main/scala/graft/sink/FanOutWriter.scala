@@ -24,7 +24,11 @@ final case class FanOutWriter(
     io: TableIO,
     table: String = "events_routed",
     numBuckets: Int = 32,
-    bucketKeys: Seq[String] = Seq("conv_id")) {
+    bucketKeys: Seq[String] = Seq("conv_id"),
+    // extra constant partition columns (streaming: per-micro-batch id,
+    // so a REPLAYED batch overwrites only its own partitions while
+    // successive batches append)
+    extraPartCols: Seq[String] = Nil) {
 
   private def shard = GroupOps.ShardHash(bucketKeys, numBuckets)
 
@@ -58,7 +62,8 @@ final case class FanOutWriter(
     val pending = data.where(
       concat_ws("|", col("__sink__"), col("__bucket__")).isin(keep: _*))
 
-    io.overwritePartitions(pending, table, Seq("__sink__", "__bucket__"))
+    io.overwritePartitions(pending, table,
+      Seq("__sink__", "__bucket__") ++ extraPartCols)
     Lineage.record(io, runId, pending)
     allBuckets.length
   }

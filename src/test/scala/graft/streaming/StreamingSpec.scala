@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.pipeline.TranscriptPipeline
+import graft.sink.TableIO
+import graft.sources.Transcripts
+
+final case class Turn(conv_id: String, turn_idx: Int, role: String,
+  text: String, tool: String, ts: Timestamp)
+
+/** Structured-Streaming variant: foreachBatch fan-out reusing the batch
+  * writer, watermarked window aggregates, token-bucket rate limit. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1735689600000L + s * 1000) // 2025-01-01
+
+  private def turnsOf(df: org.apache.spark.sql.DataFrame): Seq[Turn] =
+    df.as[Turn].collect().toSeq
+
+  test("foreachBatch fan-out: streaming micro-batches produce the same sinks as batch") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val io = TableIO(dir)
+    val input = Transcripts.generate(spark, 60, seed = 3)
+    val all = turnsOf(input)
+    val (b1, b2) = all.splitAt(all.size / 2)
+
+    val mem = MemoryStream[Turn](spark)
+    val q = StreamingRunner.fanOutWriter(mem.toDF(), io, "st",
+        numBuckets = 4, trigger = Trigger.ProcessingTime(0L),
+        checkpoint = Some(s"$dir/_ckpt"))
+      .start()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/events_routed")
+    val batch = TranscriptPipeline(input)
+    assert(streamed.count() == batch.count())
+    // routed-row-set equality (order-independent)
+    val sCols = streamed.columns.sorted
+      .filterNot(c => c == "__bucket__" || c == "__batch__")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(xxhash64(sCols.map(c => col(c).cast("string")): _*).as("h"))
+        .agg(bit_xor(col("h"))).collect().head.getLong(0)
+    assert(fp(streamed) == fp(batch.select(sCols.map(col): _*)))
+    // per-micro-batch lineage recorded
+    val lin = spark.read.parquet(s"$dir/_lineage")
+    assert(lin.select("run_id").distinct().count() >= 1)
+  }
+
+  test("windowed aggregates: event-time 5-minute buckets with watermark") {
+    val mem = MemoryStream[Turn](spark)
+    val q = StreamingRunner.windowedAggregates(mem.toDF())
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    // two windows: 00:00-00:05 and 00:10-00:15, role=user -> sink_user
+    mem.addData(
+      Turn("c1", 0, "user", "hi", "none", ts(10)),
+      Turn("c1", 1, "user", "hi", "none", ts(20)),
+      Turn("c2", 0, "user", "hi", "none", ts(620)))
+    q.processAllAvailable()
+    // advance watermark far: 2h later closes both windows
+    mem.addData(Turn("c9", 0, "user", "hi", "none", ts(7800)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("winagg")
+      .select("__sink__", "bucket", "n_events").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(out.contains(("sink_user", ts(0).getTime, 2L)))
+    assert(out.contains(("sink_user", ts(600).getTime, 1L)))
+  }
+
+  test("token bucket: limit N per period per key, refill over event time, deterministic") {
+    // 1 token/sec, capacity 2; events at t=0,0.2,0.4,1.5,10 for key A
+    val rows = Seq(
+      Turn("A", 0, "user", "e0", "none", new Timestamp(0L)),
+      Turn("A", 1, "user", "e1", "none", new Timestamp(200L)),
+      Turn("A", 2, "user", "e2", "none", new Timestamp(400L)),
+      Turn("A", 3, "user", "e3", "none", new Timestamp(1500L)),
+      Turn("A", 4, "user", "e4", "none", new Timestamp(10000L)),
+      Turn("B", 0, "user", "f0", "none", new Timestamp(0L)))
+    val df = rows.toDF()
+    val kept = TokenBucketRateLimit(df, Seq("conv_id"), limit = 2,
+        periodSeconds = 2, tieBreak = Seq("turn_idx"))
+      .select("conv_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // A: e0 (2->1), e1 (1->0 after +0.2 refill => 1.2 -> keep, 0.2),
+    // e2 (+0.2 => 0.4 -> drop), e3 (+1.1 => 1.5 -> keep),
+    // e4 (refill to cap 2 -> keep). B independent bucket.
+    assert(kept == Set(("A", "e0"), ("A", "e1"), ("A", "e3"), ("A", "e4"),
+      ("B", "f0")))
+  }
+
+  test("token bucket in a real stream: state persists across micro-batches") {
+    val mem = MemoryStream[Turn](spark)
+    val limited = TokenBucketRateLimit(mem.toDF(), Seq("conv_id"),
+      limit = 1, periodSeconds = 3600, tieBreak = Seq("turn_idx"))
+    val q = limited.writeStream.format("memory").queryName("tb")
+      .outputMode("append").start()
+    mem.addData(Turn("A", 0, "user", "a0", "none", ts(0)))
+    q.processAllAvailable()
+    // second batch, same key, 1 s later: no tokens left -> dropped
+    mem.addData(Turn("A", 1, "user", "a1", "none", ts(1)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("tb").select("text").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a0"))
+  }
+}
