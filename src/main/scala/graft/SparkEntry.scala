@@ -205,6 +205,70 @@ object SparkEntry {
         .select("conv_id", "segment", "first_turn", "n_lines", "merged_text")
     },
 
+    // -- more processors / aggregates (SURVEY §2.2, §2.4, §2.5, §2.8) --------
+    "split_explode" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+        .filter(col("text").rlike("^[^,\"]+,\\d+,\"[^\"]*\",\\d+$"))
+      ParseOps.SplitExplode("text", ",")(t)
+        .select("conv_id", "turn_idx", "part")
+    },
+    "gotime_reformat" -> { (s, dir) =>
+      FieldOps.TimeReformat("ts", "t_fmt", "yyyy/MM/dd HH",
+        epochKey = Some("epoch_s"))(transcripts(s, dir))
+        .select("conv_id", "turn_idx", "t_fmt", "epoch_s")
+    },
+    "metric_reshape" -> { (s, dir) =>
+      val t = transcripts(s, dir).filter(col("text").rlike("^tool=\\S+ status=\\d+"))
+      val parsed = ParseOps.KeyValueParser("text", " ", "=")
+        .extract(t, Seq("status", "latency_ms"))
+      FieldOps.LogToMetric(Seq("role", "tool"), Seq("status", "latency_ms"))(parsed)
+        .select("labels", "name", "value", "metric_ts")
+    },
+    "drop_last_key" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val parsed = ParseOps.KeyValueParser("text", " ", "=")
+        .extract(t.filter(col("text").rlike("^tool=\\S+ status=\\d+")), Seq("status"))
+        .drop("kv")
+        .unionByName(t.filter(!col("text").rlike("^tool=\\S+ status=\\d+"))
+          .withColumn("status", lit(null).cast("string")))
+      FieldOps.DropLastKey("text", Seq("status"))(parsed)
+        .select("conv_id", "turn_idx", "status", "text")
+    },
+    "turn_order" -> { (s, dir) =>
+      // the per-turn text-equality invariant under stable (conv_id,
+      // turn_idx) ordering: xor of per-turn hashes that BIND each text
+      // to its turn position -- any turn whose text or position changes
+      // flips the conversation fingerprint. Map-side aggregable (no
+      // ordered concat), so it scales to 10^12 turns.
+      transcripts(s, dir).groupBy(col("conv_id")).agg(
+        bit_xor(conv(substring(md5(
+          concat_ws(":", col("turn_idx"), col("text")).cast("binary")),
+          1, 15), 16, 10).cast("long")).as("turn_chain"),
+        count(lit(1)).as("n_turns"))
+    },
+    "window_counts" -> { (s, dir) =>
+      transcripts(s, dir)
+        .groupBy(window(col("ts"), "5 minutes"), col("role"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("bucket"), col("role"), col("n"))
+    },
+    "base64_field" -> { (s, dir) =>
+      FieldOps.Base64Encode("text", "text_b64")(transcripts(s, dir))
+        .select("conv_id", "turn_idx", "text_b64")
+    },
+    "appender_sortlabels" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+        .withColumn("labels",
+          concat(col("tool"), lit("#$#t|"), col("role"), lit("#$#r")))
+      FieldOps.Appender("labels", "|zz#$#9", sortLabels = true)(t)
+        .select("conv_id", "turn_idx", "labels")
+    },
+    "encrypt_field" -> { (s, dir) => // rows-only: AES not available in DuckDB
+      FieldOps.Encrypt("text", keyHex = "00112233445566778899aabbccddeeff",
+        ivHex = "000102030405060708090a0b0c0d0e0f")(transcripts(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("text").as("text_enc"))
+    },
+
     // -- training-data ops (prompt: dedup / text analysis / similarity) ------
     "dedup_exact" -> { (s, dir) =>
       tbl(s, dir, "documents")
@@ -467,6 +531,53 @@ object SparkEntry {
            FROM (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
                  FROM transcripts)
            GROUP BY conv_id"""),
+
+      "split_explode" -> withCte(
+        s"""SELECT conv_id, turn_idx, unnest(str_split(text, ',')) AS part
+           FROM transcripts WHERE regexp_matches(text, '$csvRx')"""),
+
+      "gotime_reformat" -> withCte(
+        """SELECT conv_id, turn_idx, strftime(ts, '%Y/%m/%d %H') AS t_fmt,
+           cast(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM transcripts"""),
+
+      "metric_reshape" -> withCte(
+        """, kv AS (
+             SELECT *, regexp_extract(text, 'status=([0-9]+)', 1) AS status,
+               regexp_extract(text, 'latency_ms=([0-9]+)', 1) AS latency_ms
+             FROM transcripts WHERE regexp_matches(text, '^tool=\S+ status=[0-9]+')),
+           lab AS (
+             SELECT *, array_to_string(list_sort(
+               ['role#$#' || role, 'tool#$#' || tool]), '|') AS labels FROM kv)
+           SELECT labels, 'status' AS name, status AS value, ts AS metric_ts FROM lab
+           UNION ALL
+           SELECT labels, 'latency_ms' AS name, latency_ms AS value, ts AS metric_ts FROM lab"""),
+
+      "drop_last_key" -> withCte(
+        """SELECT conv_id, turn_idx,
+           CASE WHEN regexp_matches(text, '^tool=\S+ status=[0-9]+')
+                THEN regexp_extract(text, 'status=([0-9]+)', 1) END AS status,
+           CASE WHEN regexp_matches(text, '^tool=\S+ status=[0-9]+')
+                THEN NULL ELSE text END AS text
+           FROM transcripts"""),
+
+      "turn_order" -> withCte(
+        """SELECT conv_id,
+           bit_xor(cast(('0x' || substr(md5(turn_idx || ':' || text), 1, 15)) AS BIGINT)) AS turn_chain,
+           count(*) AS n_turns FROM transcripts GROUP BY conv_id"""),
+
+      "window_counts" -> withCte(
+        """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, role,
+           count(*) AS n FROM transcripts GROUP BY 1, 2"""),
+
+      "base64_field" -> withCte(
+        """SELECT conv_id, turn_idx, base64(cast(text AS BLOB)) AS text_b64
+           FROM transcripts"""),
+
+      "appender_sortlabels" -> withCte(
+        """SELECT conv_id, turn_idx,
+           array_to_string(list_sort(str_split(
+             tool || '#$#t|' || role || '#$#r' || '|zz#$#9', '|')), '|') AS labels
+           FROM transcripts"""),
 
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies,

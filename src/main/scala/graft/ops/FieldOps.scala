@@ -95,7 +95,10 @@ object FieldOps {
     * Reference: `plugins/processor/base64/{encoding,decoding}`. */
   final case class Base64Encode(sourceKey: String, destKey: String) {
     def apply(df: DataFrame): DataFrame =
-      df.withColumn(destKey, base64(col(sourceKey).cast("binary")))
+      // Spark's base64 is MIME-chunked (newline per 76 chars); the
+      // reference is Go base64.StdEncoding (unchunked) — strip breaks
+      df.withColumn(destKey,
+        regexp_replace(base64(col(sourceKey).cast("binary")), "[\\r\\n]", ""))
   }
   final case class Base64Decode(sourceKey: String, destKey: String) {
     def apply(df: DataFrame): DataFrame =
@@ -148,6 +151,53 @@ object FieldOps {
       val rx = java.util.regex.Pattern.quote(start) + "(.*?)" +
         java.util.regex.Pattern.quote(stop)
       df.withColumn(destKey, regexp_extract(col(sourceKey), rx, 1))
+    }
+  }
+
+  /** Time reformat + epoch extraction of a timestamp column.
+    * Reference: `plugins/processor/gotime/processor_gotime.go:34-46`
+    * (Go-layout src→dst reformat) and `strptime.go:59-72`
+    * (`EnablePreciseTimestamp` epoch key). */
+  final case class TimeReformat(
+      tsKey: String,
+      destKey: String,
+      format: String,
+      epochKey: Option[String] = None) {
+    def apply(df: DataFrame): DataFrame = {
+      val d = df.withColumn(destKey, date_format(col(tsKey), format))
+      epochKey.fold(d)(k => d.withColumn(k, unix_timestamp(col(tsKey))))
+    }
+  }
+
+  /** Log → metric-series reshape: label keys become one sorted
+    * `k#$#v|…` label string, each (name, value) pair becomes a row.
+    * Reference: `plugins/processor/logtoslsmetric/
+    * processor_log_to_sls_metric.go:31-42` (MetricLabelKeys sorted label
+    * string, MetricValues name→value pairs). */
+  final case class LogToMetric(
+      labelKeys: Seq[String],
+      valueKeys: Seq[String],
+      tsKey: String = "ts") {
+    def apply(df: DataFrame): DataFrame = {
+      val labels = array_join(
+        array_sort(array(labelKeys.map(k => concat_ws("#$#", lit(k), col(k))): _*)),
+        "|")
+      val kvs = map(valueKeys.flatMap(k => Seq(lit(k), col(k))): _*)
+      df.withColumn("labels", labels)
+        .select(col("*"), explode(kvs).as(Seq("name", "value")))
+        .filter(col("value").isNotNull)
+        .select(col("labels"), col("name"), col("value"),
+          col(tsKey).as("metric_ts"))
+    }
+  }
+
+  /** Drop (null out) `dropKey` only when every `includeKeys` is present —
+    * post-parse raw-field cleanup.
+    * Reference: `plugins/processor/droplastkey/processor_drop_last_key.go`. */
+  final case class DropLastKey(dropKey: String, includeKeys: Seq[String]) {
+    def apply(df: DataFrame): DataFrame = {
+      val allPresent = includeKeys.map(col(_).isNotNull).reduce(_ && _)
+      df.withColumn(dropKey, when(allPresent, lit(null)).otherwise(col(dropKey)))
     }
   }
 }

@@ -258,4 +258,17 @@ object ParseOps {
       opts.finish(df, sourceKey, ok, fields)
     }
   }
+
+  /** 1→N row split: explode `sourceKey` on a separator (one event per
+    * part). Reference: `plugins/processor/split/char/split_char.go` /
+    * `split/logstring/split_log_string.go` and the inner
+    * `ProcessorSplitLogStringNative` ('\n' line split). */
+  final case class SplitExplode(
+      sourceKey: String,
+      separator: String,
+      destKey: String = "part") {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey,
+        explode(split(col(sourceKey), java.util.regex.Pattern.quote(separator))))
+  }
 }
