@@ -1,24 +1,97 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.pipeline.TranscriptPipeline
+import graft.sources.Transcripts
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Phases:
+  *  1. SCALING (north rule): the identical end-to-end
+  *     parse→enrich→route→aggregate job over the SAME materialized
+  *     parquet transcript table at local[8] vs local[32] — turns/sec at
+  *     both levels evidences the N→4N scaling-efficiency criterion in
+  *     this single-host sandbox. The sink is Spark's noop format (the
+  *     analog of the reference's blackhole-flusher bench,
+  *     `test/benchmark/test_cases/performance_file_to_blackhole_*`).
+  *
+  *     Methodology: the input is WRITTEN TO PARQUET first (the 100 TB
+  *     shape is a table scan, and benching over an inline generator
+  *     re-evaluates generator expressions inside the parse projection);
+  *     each level gets 2 warmups (JIT/codegen) then the MINIMUM of 8
+  *     timed runs — this host's vCPUs are shared, so wall-clock under
+  *     all-core load swings ±4× with neighbor noise and min-of-N is the
+  *     only stable estimator of uncontended capability.
+  *
+  *  2. QUERY SWEEP: every SparkEntry query timed (noop sink) at
+  *     local[32] on `SPARK_GRAFT_SF_DIR`.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val convs = sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong)
+      .getOrElse(if (sfDir.contains("sf0.1")) 100000L else 20000L)
+    val inputDir = s"/tmp/graft_bench_input_$convs"
+
+    // -- materialize the deterministic transcript table (untimed) ----------
+    val prep = session(32)
+    if (!new java.io.File(inputDir).exists())
+      Transcripts.generate(prep, convs, seed = 42, partitions = 128)
+        .write.mode("overwrite").parquet(inputDir)
+    val turns = prep.read.parquet(inputDir).count()
+    prep.stop()
+
+    // -- phase 1: scaling (local[8] vs local[32], same input) --------------
+    def benchLevel(cpus: Int, warmups: Int, reps: Int): Double = {
+      val s = session(cpus)
+      val full = TranscriptPipeline(s.read.parquet(inputDir))
+      def run(): Unit = full.write.format("noop").mode("overwrite").save()
+      (1 to warmups).foreach(_ => run())
+      val best = (1 to reps).map(_ => timed(run())).min
+      s.stop()
+      best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val sec8 = benchLevel(8, 2, 8)
+    val sec32 = benchLevel(32, 2, 8)
+    val rate8 = turns / sec8
+    val rate32 = turns / sec32
+    val eff = (rate32 / rate8) / (32.0 / 8.0)
+
+    // -- phase 2: per-query sweep at local[32] over the driver SF dir ------
+    val s32 = session(32)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = timed {
+        try { fn(s32, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+      }
+      name -> sec
+    }
+    s32.stop()
+
+    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = queryTimes.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"turns":$turns,"convs":$convs,"sec_local8":$sec8%.2f,"sec_local32":$sec32%.2f,"turns_per_sec_local8":$rate8%.0f,"turns_per_sec_local32":$rate32%.0f,"scaling_efficiency":$eff%.3f,"cores_ratio":4}}""")
   }
 }

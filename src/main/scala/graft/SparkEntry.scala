@@ -206,6 +206,22 @@ object SparkEntry {
     },
 
     // -- more processors / aggregates (SURVEY §2.2, §2.4, §2.5, §2.8) --------
+    "json_expand" -> { (s, dir) =>
+      val t = transcripts(s, dir).filter(col("text").startsWith("{"))
+      ParseOps.JsonExpand("text", depth = 2, connector = "_")(t)
+        .select(col("conv_id"), col("turn_idx"),
+          try_element_at(col("expanded"), lit("level")).as("level"),
+          try_element_at(col("expanded"), lit("meta_attempt")).as("attempt"))
+    },
+    "spl_query" -> { (s, dir) =>
+      // the reference's processor_spl executes an SPL script against the
+      // event group (ProcessorSPL.cpp:29-90); in this engine that IS
+      // Spark SQL over the parsed view
+      TranscriptPipeline.parse(transcripts(s, dir))
+        .createOrReplaceTempView("parsed_events")
+      s.sql("""SELECT status, count(*) AS n FROM parsed_events
+               WHERE fmt = 'nginx' GROUP BY status""")
+    },
     "split_explode" -> { (s, dir) =>
       val t = transcripts(s, dir)
         .filter(col("text").rlike("^[^,\"]+,\\d+,\"[^\"]*\",\\d+$"))
@@ -531,6 +547,16 @@ object SparkEntry {
            FROM (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
                  FROM transcripts)
            GROUP BY conv_id"""),
+
+      "json_expand" -> withCte(
+        """SELECT conv_id, turn_idx,
+           json_extract_string(text, '$.level') AS level,
+           json_extract_string(text, '$.meta.attempt') AS attempt
+           FROM transcripts WHERE text LIKE '{%'"""),
+
+      "spl_query" -> withCte(
+        s"""SELECT regexp_extract(text, '$nginxRx', 7) AS status, count(*) AS n
+           FROM transcripts WHERE regexp_matches(text, '$nginxRx') GROUP BY 1"""),
 
       "split_explode" -> withCte(
         s"""SELECT conv_id, turn_idx, unnest(str_split(text, ',')) AS part

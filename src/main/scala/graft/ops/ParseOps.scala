@@ -259,6 +259,46 @@ object ParseOps {
     }
   }
 
+  /** Schema-free nested-JSON flatten into a `map<string,string>` column:
+    * keys of nested objects become `a_b_c`-style flattened keys up to
+    * `depth` levels, joined by `connector`; scalars stringify.
+    * Reference: `plugins/processor/json/processor_json.go:29-42`
+    * (`ExpandDepth`, `ExpandConnector`, `Prefix`).
+    *
+    * Pure higher-order-function rewrite: each pass explodes map entries
+    * whose value is itself a JSON object into prefixed child entries —
+    * no UDFs, no shuffles, bounded by `depth` passes.
+    */
+  final case class JsonExpand(
+      sourceKey: String,
+      depth: Int = 2,
+      connector: String = "_",
+      prefix: String = "",
+      destKey: String = "expanded") {
+    def apply(df: DataFrame): DataFrame = {
+      val mapType = "map<string,string>"
+      def isObj(v: Column): Column = v.startsWith("{")
+      // one flatten pass over an array<struct<key,value>> entry list
+      def pass(entries: Column): Column = flatten(transform(entries, e => {
+        val sub = from_json(e.getField("value"), mapType, Map.empty[String, String])
+        when(isObj(e.getField("value")) && sub.isNotNull,
+          transform(map_entries(sub), s => struct(
+            concat(e.getField("key"), lit(connector), s.getField("key")).as("key"),
+            s.getField("value").as("value"))))
+          .otherwise(array(e))
+      }))
+      val base = map_entries(from_json(col(sourceKey), mapType,
+        Map.empty[String, String]))
+      val flattened = (1 until depth).foldLeft(base)((acc, _) => pass(acc))
+      val prefixed =
+        if (prefix.isEmpty) flattened
+        else transform(flattened, e => struct(
+          concat(lit(prefix), e.getField("key")).as("key"),
+          e.getField("value").as("value")))
+      df.withColumn(destKey, map_from_entries(prefixed))
+    }
+  }
+
   /** 1→N row split: explode `sourceKey` on a separator (one event per
     * part). Reference: `plugins/processor/split/char/split_char.go` /
     * `split/logstring/split_log_string.go` and the inner

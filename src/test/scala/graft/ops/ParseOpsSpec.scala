@@ -157,4 +157,26 @@ class ParseOpsSpec extends AnyFunSuite {
     val m2 = ms.find(m => m("client") == null && m("level") == null).get
     assert(m2("text") == "no match at all ???") // kept on fail
   }
+
+  test("json expand: nested keys flatten with connector up to depth; scalars kept") {
+    val df = textDf(
+      """{"a":"1","b":{"c":"2","d":{"e":"3"}},"f":"4"}""",
+      """not json""")
+    val out = ParseOps.JsonExpand("text", depth = 2, connector = "_")(df)
+    val maps = collectMaps(out.select(col("text"), col("expanded")))
+    val m = maps.find(_("text").toString.startsWith("{")).get("expanded")
+      .asInstanceOf[Map[String, String]]
+    assert(m("a") == "1" && m("f") == "4")
+    assert(m("b_c") == "2")
+    // depth 2: b.d stays as its JSON text, not expanded further
+    assert(m("b_d").replaceAll("\\s", "") == """{"e":"3"}""")
+    // depth 3 expands it
+    val deep = ParseOps.JsonExpand("text", depth = 3)(df)
+    val dm = collectMaps(deep.select(col("text"), col("expanded")))
+      .find(_("text").toString.startsWith("{")).get("expanded")
+      .asInstanceOf[Map[String, String]]
+    assert(dm("b_d_e") == "3")
+    // non-json rows: expanded is null, row preserved
+    assert(maps.exists(m => m("text") == "not json" && m("expanded") == null))
+  }
 }
