@@ -28,11 +28,14 @@ object DedupOps {
   def words(textCol: Column): Column =
     split(regexp_replace(lower(textCol), "\\s+", " "), " ")
 
-  /** Distinct word `n`-gram shingles. Requires `size(words) >= n`. */
+  /** Distinct word `n`-gram shingles. Requires `size(words) >= n`.
+    * The words expression is let-bound so it evaluates once per row,
+    * not once per shingle ([[graft.functions.Cols.let]]). */
   def shingles(wordsCol: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(wordsCol) - (n - 1)),
-      i => concat_ws(" ", slice(wordsCol, i, lit(n)))))
+    graft.functions.Cols.let(wordsCol)(w =>
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
 
   /** Exact dedup: group identical (md5) texts, keep the smallest id. */
   def exact(df: DataFrame, idCol: String = "doc_id",
@@ -126,20 +129,21 @@ object DedupOps {
 
     /** long column: the simhash of `textCol`. */
     def sketch(textCol: Column): Column = {
-      val toks = words(textCol)
-      // per-token ±1 votes summed per bit, then sign → bit
+      // hash each token ONCE into an array — the hash must be a lambda
+      // variable in the per-bit loop, or Catalyst recomputes the md5
+      // once per (token, bit): 32× the hashing cost (measured).
+      val tokenHashes = transform(words(textCol), t => h(t))
+      // per-token ±1 votes summed per bit, then sign → bit.
       // pow(2,b) on b<=62 is exact in doubles; Scala's shiftleft/shiftright
       // only accept Int literals, so bit tests use exact 2^b arithmetic.
       val sums = aggregate(
-        toks,
+        tokenHashes,
         array_repeat(lit(0L), bits),
-        (acc, t) => {
-          val hv = h(t)
+        (acc, hv) =>
           zip_with(acc, sequence(lit(0), lit(bits - 1)),
             (a, b) => a + when(
               pmod(floor(hv / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1,
-              lit(1L)).otherwise(lit(-1L)))
-        })
+              lit(1L)).otherwise(lit(-1L))))
       aggregate(
         zip_with(sums, sequence(lit(0), lit(bits - 1)),
           (s, b) => when(s > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),

@@ -105,20 +105,29 @@ object SimilarityOps {
       lsh: SignLsh = SignLsh()) {
     def pairs(df: DataFrame, idCol: String = "vec_id",
         vecCol: String = "embedding"): DataFrame = {
+      // hoist the double-cast and the norm OUT of the pair join: per-pair
+      // work drops to one fused dot product (3× fewer array passes)
+      val vd = transform(col(vecCol), x => x.cast("double"))
+      val prepped = df.select(col(idCol), vd.as("__v__"),
+        sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x)).as("__n__"))
       val base = if (exact) {
-        val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-        val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+        val a = prepped.select(col(idCol).as("vec_a"), col("__v__").as("va"),
+          col("__n__").as("na"))
+        val b = prepped.select(col(idCol).as("vec_b"), col("__v__").as("vb"),
+          col("__n__").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
       } else {
-        val withB = df.withColumn("__b__", lsh.bucket(col(vecCol)))
-        val a = withB.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
-          col("__b__"))
-        val b = withB.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
-          col("__b__"))
+        val withB = prepped.withColumn("__b__", lsh.bucket(col("__v__")))
+        val a = withB.select(col(idCol).as("vec_a"), col("__v__").as("va"),
+          col("__n__").as("na"), col("__b__"))
+        val b = withB.select(col(idCol).as("vec_b"), col("__v__").as("vb"),
+          col("__n__").as("nb"), col("__b__"))
         a.join(b, Seq("__b__")).where(col("vec_a") < col("vec_b"))
-          .select("vec_a", "va", "vec_b", "vb")
+          .select("vec_a", "va", "na", "vec_b", "vb", "nb")
       }
-      base.withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      base.withColumn("cos", round(dot / (col("na") * col("nb")), 4))
         .where(col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     }

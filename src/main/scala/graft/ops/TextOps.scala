@@ -32,19 +32,23 @@ object TextOps {
   def qualityFeatures(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val w = DedupOps.words(t)
-    val chars = length(t).cast("double")
-    df.select(
-      col(idCol),
-      length(t).cast("int").as("n_chars"),
-      size(w).cast("int").as("n_words"),
-      round(chars / size(w), 4).as("mean_word_len"),
-      round(size(array_distinct(w)).cast("double") / size(w), 4)
-        .as("type_token_ratio"),
-      round((chars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
-        / chars, 4).as("punct_ratio"),
-      round(length(regexp_replace(t, "[^a-zA-Z]", "")) / chars, 4)
-        .as("alpha_ratio"))
+    // materialize the word array in its own projection: it feeds three
+    // output columns, and CollapseProject keeps non-cheap multi-use
+    // aliases in a separate (single-evaluation) stage
+    df.select(col(idCol), t, DedupOps.words(t).as("__w__"))
+      .select(
+        col(idCol),
+        length(t).cast("int").as("n_chars"),
+        size(col("__w__")).cast("int").as("n_words"),
+        round(length(t).cast("double") / size(col("__w__")), 4)
+          .as("mean_word_len"),
+        round(size(array_distinct(col("__w__"))).cast("double")
+          / size(col("__w__")), 4).as("type_token_ratio"),
+        round((length(t).cast("double")
+          - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+          / length(t).cast("double"), 4).as("punct_ratio"),
+        round(length(regexp_replace(t, "[^a-zA-Z]", ""))
+          / length(t).cast("double"), 4).as("alpha_ratio"))
   }
 
   /** Tiny per-language marker-word lists for the n-gram/stopword
@@ -58,17 +62,25 @@ object TextOps {
 
   /** Language-ID: argmax of marker-word hit counts over the word array;
     * `unk` when no marker hits at all. */
-  def langId(textCol: Column): Column = {
-    val w = DedupOps.words(textCol)
-    val scores = langMarkers.map { case (lang, marks) =>
-      lang -> size(filter(w, x => x.isin(marks.map(lit): _*)))
+  def langId(textCol: Column): Column =
+    // let-bind the word array AND the score vector: the when-chain
+    // references each score several times (and `best` references all
+    // of them), which would re-run the split per reference
+    graft.functions.Cols.let(DedupOps.words(textCol)) { w =>
+      val scoreArr = array(langMarkers.map { case (_, marks) =>
+        size(filter(w, x => x.isin(marks.map(lit): _*)))
+      }: _*)
+      graft.functions.Cols.let(scoreArr) { sc =>
+        val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+          lang -> element_at(sc, i + 1)
+        }
+        val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+        // first language (declared order) achieving the max; unk if 0
+        scores.foldLeft(when(best <= 0, "unk"): Column) {
+          case (acc, (lang, s)) => acc.when(s === best, lang)
+        }.otherwise("unk")
+      }
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // first language (in declared order) achieving the max; unk if max==0
-    scores.foldLeft(when(best <= 0, "unk"): Column) {
-      case (acc, (lang, s)) => acc.when(s === best, lang)
-    }.otherwise("unk")
-  }
 
   /** Bottom-k document fingerprint over character `k`-gram hashes — a
     * winnowing-style sketch: order-invariant under small edits, cheap to
@@ -80,14 +92,17 @@ object TextOps {
     private def h(s: Column): Column =
       if (portable) PortableHash.md32(s) else PortableHash.fast32(s, 0)
 
-    def sketch(textCol: Column): Column = {
-      val norm = regexp_replace(lower(textCol), "\\s+", " ")
-      val grams = transform(
-        sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1))),
-        i => norm.substr(i, lit(gram)))
-      slice(array_sort(array_distinct(transform(grams, g => h(g)))),
-        1, sketchSize)
-    }
+    def sketch(textCol: Column): Column =
+      // let-bind the normalization: referenced per gram otherwise, the
+      // regexp_replace would run once per character position
+      graft.functions.Cols.let(
+        regexp_replace(lower(textCol), "\\s+", " ")) { norm =>
+        val grams = transform(
+          sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1))),
+          i => norm.substr(i, lit(gram)))
+        slice(array_sort(array_distinct(transform(grams, g => h(g)))),
+          1, sketchSize)
+      }
 
     def apply(df: DataFrame, idCol: String = "doc_id",
         textCol: String = "text"): DataFrame =
