@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC: the bench is allocation-heavy across 32 threads and
+  // ParallelGC measured ~20% faster than G1 for this workload
+  "-XX:+UseParallelGC",
 )

@@ -62,17 +62,22 @@ object Bench {
     prep.stop()
 
     // -- phase 1: scaling (local[8] vs local[32], same input) --------------
-    def benchLevel(cpus: Int, warmups: Int, reps: Int): Double = {
+    // Interleaved rounds: this host's shared vCPUs have multi-minute
+    // noisy-neighbor windows (±4× wall-clock), so alternating the two
+    // levels and taking the per-level MINIMUM samples the uncontended
+    // capability of each fairly.
+    val samples = scala.collection.mutable.Map(8 -> List.empty[Double],
+      32 -> List.empty[Double])
+    for (_ <- 1 to 3; cpus <- Seq(8, 32)) {
       val s = session(cpus)
       val full = TranscriptPipeline(s.read.parquet(inputDir))
       def run(): Unit = full.write.format("noop").mode("overwrite").save()
-      (1 to warmups).foreach(_ => run())
-      val best = (1 to reps).map(_ => timed(run())).min
+      run() // warmup (JIT/codegen)
+      samples(cpus) = samples(cpus) ++ (1 to 3).map(_ => timed(run()))
       s.stop()
-      best
     }
-    val sec8 = benchLevel(8, 2, 8)
-    val sec32 = benchLevel(32, 2, 8)
+    val sec8 = samples(8).min
+    val sec32 = samples(32).min
     val rate8 = turns / sec8
     val rate32 = turns / sec32
     val eff = (rate32 / rate8) / (32.0 / 8.0)

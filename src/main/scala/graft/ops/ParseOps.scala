@@ -35,10 +35,26 @@ object ParseOps {
       } else {
         val anchored = s"^(?:$regex)$$"
         val ok = src.isNotNull && src.rlike(anchored)
-        val fields = keys.zipWithIndex.map { case (k, i) =>
-          k -> regexp_extract(src, anchored, i + 1)
+        if (keys.size <= 2) {
+          val fields = keys.zipWithIndex.map { case (k, i) =>
+            k -> regexp_extract(src, anchored, i + 1)
+          }
+          opts.finish(df, sourceKey, ok, fields)
+        } else {
+          // Single-match extraction: one regexp_replace packs every
+          // capture group with a \u0001 delimiter, one split unpacks —
+          // 2 regex executions instead of keys.size+1 (a per-key
+          // regexp_extract re-runs the whole match). Unmatched optional
+          // groups substitute "" exactly like regexp_extract.
+          val repl = (1 to keys.size).map("$" + _).mkString("\u0001")
+          val packed = split(regexp_replace(src, anchored, repl), "\u0001", -1)
+          val arrCol = "__rx_groups__"
+          val d = df.withColumn(arrCol, when(ok, packed))
+          val fields = keys.zipWithIndex.map { case (k, i) =>
+            k -> element_at(col(arrCol), i + 1)
+          }
+          opts.finish(d, sourceKey, ok, fields).drop(arrCol)
         }
-        opts.finish(df, sourceKey, ok, fields)
       }
     }
   }

@@ -33,26 +33,43 @@ object TranscriptPipeline {
     val t = col("text")
     val anchored = s"^(?:$nginxRegex)$$"
     val isNginx = t.rlike(anchored)
-    val isJson = t.rlike("^\\s*\\{") && get_json_object(t, "$").isNotNull
     val isKv = t.rlike("^tool=\\S+ status=\\d+")
     val isCsv = t.rlike("^[^,\"]+,\\d+,\"[^\"]*\",\\d+$")
+
+    // ONE evaluation per format per row, materialized in a dedicated
+    // projection (multi-use non-cheap aliases are not collapsed):
+    //  - nginx: one regexp_replace packs all 10 groups, one split unpacks
+    //    (vs 10 regexp_extract = 10 full regex matches);
+    //  - json: one from_json to map<string,string> (vs get_json_object
+    //    per field = one JSON parse per field);
+    //  - kv: one str_to_map.
+    val repl = (1 to nginxKeys.size).map("$" + _).mkString("\u0001")
+    val staged = df
+      .withColumn("__nginx__",
+        when(isNginx, split(regexp_replace(t, anchored, repl), "\u0001", -1)))
+      .withColumn("__json__",
+        when(t.rlike("^\\s*\\{"), from_json(t, "map<string,string>",
+          Map.empty[String, String])))
+      .withColumn("__kv__", when(isKv, str_to_map(t, lit(" "), lit("="))))
+
+    val isJson = col("__json__").isNotNull
     val fmt = when(isNginx, "nginx").when(isJson, "json")
       .when(isKv, "kv").when(isCsv, "csv").otherwise("raw")
 
-    val withNginx = nginxKeys.zipWithIndex.foldLeft(df.withColumn("fmt", fmt)) {
+    val withNginx = nginxKeys.zipWithIndex.foldLeft(staged.withColumn("fmt", fmt)) {
       case (d, (k, i)) =>
-        d.withColumn(k, when(isNginx, regexp_extract(t, anchored, i + 1)))
+        d.withColumn(k, try_element_at(col("__nginx__"), lit(i + 1)))
     }
-    val kvMap = str_to_map(t, lit(" "), lit("="))
     withNginx
-      .withColumn("level", when(isJson, get_json_object(t, "$.level")))
-      .withColumn("code", when(isJson, get_json_object(t, "$.code")))
-      .withColumn("msg", when(isJson, get_json_object(t, "$.msg")))
-      .withColumn("kv_status", when(isKv, try_element_at(kvMap, lit("status"))))
-      .withColumn("latency_ms", when(isKv, try_element_at(kvMap, lit("latency_ms"))))
+      .withColumn("level", try_element_at(col("__json__"), lit("level")))
+      .withColumn("code", try_element_at(col("__json__"), lit("code")))
+      .withColumn("msg", try_element_at(col("__json__"), lit("msg")))
+      .withColumn("kv_status", try_element_at(col("__kv__"), lit("status")))
+      .withColumn("latency_ms", try_element_at(col("__kv__"), lit("latency_ms")))
       .withColumn("status_any",
         coalesce(col("status"), col("kv_status"),
           when(isCsv, regexp_extract(t, "^[^,]+,(\\d+),", 1))))
+      .drop("__nginx__", "__json__", "__kv__")
   }
 
   /** Role/tool lookup dictionaries (FIXTURES.md §3) — broadcast joins. */
