@@ -126,4 +126,31 @@ class RouteGroupAggSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GroupOps.ContentValueGroup(Seq("nope"), errIfKeyNotFound = true)(df))
   }
+
+  test("skew + ordering together: salted aggregate equals plain; routed path ordering intact") {
+    // SURVEY §7.5 hard part 6: salting is confined to the aggregate
+    // path, so hot-key splitting must not perturb either the aggregate
+    // values or the ordered routed-write path.
+    val df = graft.sources.Transcripts.generate(spark, 998, seed = 9) // convs 0/997 hot
+    val plain = df.groupBy("conv_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // two-phase aggregation over the salted layout
+    val salted = GroupOps.SaltedRepartition("conv_id", saltBuckets = 8)(df)
+    val twoPhase = salted.groupBy("conv_id", "__salt__").count()
+      .groupBy("conv_id").agg(org.apache.spark.sql.functions.sum("count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase == plain)
+    // the hot conversation really was split across salt buckets
+    assert(salted.filter(col("conv_id") === "conv-00000000")
+      .select("__salt__").distinct().count() > 1)
+    // routed path (no salt): per-conversation turn order invariant holds
+    val grouped = GroupOps.ContextGroup(numPartitions = Some(4))(
+      graft.pipeline.TranscriptPipeline(df))
+    val ordered = grouped.select("conv_id", "turn_idx").rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.map(r => (r.getString(0), r.getInt(1))).toList
+        Iterator(rows == rows.sorted)
+      }.collect()
+    assert(ordered.forall(identity))
+  }
 }
