@@ -62,6 +62,33 @@ final case class TableIO(root: String,
   def overwrite(df: DataFrame, table: String): Unit =
     writer(df).mode("overwrite").parquet(path(table))
 
+  /** Bucketed write (Hive-style layout via `saveAsTable`): rows are
+    * hash-partitioned into `numBuckets` files per partition by
+    * `bucketCols`, and the bucketing metadata lets Catalyst plan
+    * co-located joins/aggregations on the bucket keys with NO exchange —
+    * the at-rest analog of the reference's shard-hash routing
+    * (`aggregator_shardhash.go:65-105`): at 100 TB, repeated joins on
+    * conv_id against bucketed tables skip the dominant shuffle entirely.
+    * Requires a session with a warehouse dir (any SparkSession default).
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = writer(df).mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .option("path", path(table))
+      .format("parquet")
+      .saveAsTable(tableName(table))
+  }
+
+  /** Read a bucketed table (bucket metadata preserved). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(tableName(table))
+
+  private def tableName(table: String): String =
+    "graft_" + table.replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+      Integer.toHexString(root.hashCode).replace("-", "m")
+
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(path(table))
 
