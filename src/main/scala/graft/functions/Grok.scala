@@ -56,7 +56,7 @@ object Grok {
     "LOGLEVEL" -> "(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)"
   )
 
-  private val ref = "%\\{(\\w+)(?::([\\w.\\[\\]]+))?(?::\\w+)?\\}".r
+  private val ref = "%\\{(\\w+)(?::([\\w.\\[\\]]+))?(?::(\\w+))?\\}".r
 
   /** Make every capturing group in a dictionary body non-capturing.
     * Handles escaped parens and character classes. */
@@ -81,21 +81,32 @@ object Grok {
 
   /** Expand a grok expression to (javaRegex, orderedAliases). */
   def compile(pattern: String, custom: Map[String, String] = Map.empty): (String, Seq[String]) = {
+    val (rx, typed) = compileTyped(pattern, custom)
+    (rx, typed.map(_._1))
+  }
+
+  /** Like [[compile]] but preserves the optional type-cast suffix of
+    * each alias (`%{POSINT:pid:int}` → ("pid", Some("int"))).
+    * Reference: `plugins/processor/grok/processor_grok.go:49` (alias
+    * types int/long/float/double/bool; untyped = string). */
+  def compileTyped(pattern: String, custom: Map[String, String] = Map.empty)
+      : (String, Seq[(String, Option[String])]) = {
     val dict = defaultPatterns ++ custom
-    val aliases = mutable.ArrayBuffer.empty[String]
+    val aliases = mutable.ArrayBuffer.empty[(String, Option[String])]
 
     def expand(p: String, depth: Int): String = {
       require(depth < 50, s"grok recursion too deep in: $pattern")
       ref.replaceAllIn(p, m => {
         val name = m.group(1)
         val alias = Option(m.group(2))
+        val castType = Option(m.group(3))
         val body = dict.getOrElse(name,
           throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
         // Record the outer alias BEFORE expanding the body: its capture
         // group opens before any nested aliased group.
         val g = alias match {
           case Some(a) =>
-            aliases += a
+            aliases += (a -> castType)
             s"(${expand(decapture(body), depth + 1)})"
           case None => s"(?:${expand(decapture(body), depth + 1)})"
         }

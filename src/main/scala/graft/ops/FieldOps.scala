@@ -47,10 +47,17 @@ object FieldOps {
       sourceKey: String,
       regex: String,
       replacement: String,
-      destKey: Option[String] = None) {
-    def apply(df: DataFrame): DataFrame =
-      df.withColumn(destKey.getOrElse(sourceKey),
-        regexp_replace(col(sourceKey), regex, replacement))
+      destKey: Option[String] = None,
+      // first-only mode wraps the pattern in a ^-anchored lazy prefix
+      // group, so capture-group refs in `replacement` shift by one
+      replaceAll: Boolean = true) {
+    def apply(df: DataFrame): DataFrame = {
+      val out =
+        if (replaceAll) regexp_replace(col(sourceKey), regex, replacement)
+        else regexp_replace(col(sourceKey), s"(?s)^(.*?)(?:$regex)",
+          "$1" + replacement)
+      df.withColumn(destKey.getOrElse(sourceKey), out)
+    }
   }
 
   /** Desensitize (mask) content after an anchor pattern.
@@ -65,14 +72,21 @@ object FieldOps {
       beforePattern: String,
       contentPattern: String,
       method: String = "const", // const | md5
-      replacingString: String = "********") {
+      replacingString: String = "********",
+      replaceAll: Boolean = true) {
     def apply(df: DataFrame): DataFrame = {
       val src = col(sourceKey)
       val out = method match {
-        case "const" =>
+        case "const" if replaceAll =>
           // Global replace == reference ReplaceAll=true (RE2
           // GlobalReplace, ProcessorDesensitizeNative.cpp:203-207).
           regexp_replace(src, s"($beforePattern)(?:$contentPattern)",
+            "$1" + replacingString)
+        case "const" =>
+          // First-only (ReplaceAll=false): Spark's regexp_replace is
+          // global, but a ^-anchored lazy prefix can match at most once.
+          regexp_replace(src,
+            s"(?s)^(.*?$beforePattern)(?:$contentPattern)",
             "$1" + replacingString)
         case "md5" =>
           // Replace the first occurrence's content with its md5:

@@ -253,8 +253,19 @@ object ParseOps {
       customPatterns: Map[String, String] = Map.empty,
       opts: ParserOptions = ParserOptions()) {
 
-    private val compiled: Seq[(String, Seq[String])] =
-      matchPatterns.map(p => Grok.compile(p, customPatterns))
+    private val compiled: Seq[(String, Seq[(String, Option[String])])] =
+      matchPatterns.map(p => Grok.compileTyped(p, customPatterns))
+
+    /** Alias type-cast suffix → Spark type (`processor_grok.go:49`).
+      * try_cast: an unparseable value nulls instead of failing the job
+      * under ANSI mode. */
+    private def castTo(c: Column, t: String): Column = t match {
+      case "int" | "long" => c.try_cast("long")
+      case "float" | "double" => c.try_cast("double")
+      case "bool" | "boolean" => c.try_cast("boolean")
+      case "string" => c
+      case other => throw new IllegalArgumentException(s"grok cast '$other'")
+    }
 
     def apply(df: DataFrame): DataFrame = {
       val src = col(sourceKey)
@@ -262,14 +273,18 @@ object ParseOps {
       // the first alternative whose regex matches the line.
       val ok = compiled.map { case (rx, _) => src.rlike(rx) }
         .reduce(_ || _) && src.isNotNull
-      val allKeys = compiled.flatMap(_._2).distinct
+      val allKeys = compiled.flatMap(_._2.map(_._1)).distinct
+      val keyType: Map[String, Option[String]] =
+        compiled.flatMap(_._2).groupBy(_._1).view
+          .mapValues(_.flatMap(_._2).headOption).toMap
       val fields = allKeys.map { k =>
         val alternatives = compiled.flatMap { case (rx, keys) =>
-          val gi = keys.indexOf(k)
+          val gi = keys.indexWhere(_._1 == k)
           if (gi < 0) None
           else Some(when(src.rlike(rx), regexp_extract(src, rx, gi + 1)))
         }
-        k -> coalesce(alternatives: _*)
+        val raw = coalesce(alternatives: _*)
+        k -> keyType(k).map(t => castTo(raw, t)).getOrElse(raw)
       }
       opts.finish(df, sourceKey, ok, fields)
     }

@@ -31,4 +31,21 @@ class GrokSpec extends AnyFunSuite {
     assert(keys == Seq("t"))
     assert("[01/Jan/2025:00:00:00 +0000]".matches(rx))
   }
+
+  test("typed aliases: %{P:alias:type} yields cast columns") {
+    import graft.SparkTestSession._
+    import graft.ops.ParseOps
+    val (_, typed) = Grok.compileTyped("%{INT:pid:int} %{NUMBER:dur:float} %{WORD:name}")
+    assert(typed == Seq("pid" -> Some("int"), "dur" -> Some("float"),
+      "name" -> None))
+    val out = ParseOps.GrokParser("text",
+      Seq("%{INT:pid:int} %{NUMBER:dur:float} %{WORD:name}"))(
+      textDf("42 1.5 boot"))
+    val schema = out.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(schema("pid") == "long" && schema("dur") == "double" &&
+      schema("name") == "string")
+    val r = out.select("pid", "dur", "name").head()
+    assert(r.getLong(0) == 42L && r.getDouble(1) == 1.5 &&
+      r.getString(2) == "boot")
+  }
 }

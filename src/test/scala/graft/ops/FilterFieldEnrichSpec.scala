@@ -90,6 +90,22 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     assert(got == s"pwd=$md5hex other pwd=secret2")
   }
 
+  test("desensitize/string_replace: first-only mode (ReplaceAll=false)") {
+    val s = spark; import s.implicits._
+    val df = Seq("pwd=secret1 other pwd=secret2").toDF("text")
+    val firstOnly = FieldOps.Desensitize("text", "pwd=", "\\w+",
+      replaceAll = false)(df)
+    assert(collectMaps(firstOnly).head("text") ==
+      "pwd=******** other pwd=secret2")
+    val sr = FieldOps.StringReplace("text", "secret\\d", "X",
+      replaceAll = false)(df)
+    assert(collectMaps(sr).head("text") == "pwd=X other pwd=secret2")
+    // no match: row unchanged
+    val none = FieldOps.Desensitize("text", "token=", "\\w+",
+      replaceAll = false)(df)
+    assert(collectMaps(none).head("text") == "pwd=secret1 other pwd=secret2")
+  }
+
   test("base64 round trip, md5, pack_json, anchor") {
     val s = spark; import s.implicits._
     val df = Seq(("abc", "start[MID]stop")).toDF("a", "b")
