@@ -349,6 +349,11 @@ object SparkEntry {
       SimilarityOps.SignLsh(planes = 8, dims = 64)
         .topK(e, e.filter(col("vec_id") === 0), k = 10)
     },
+    "ann_ivf" -> { (s, dir) =>
+      val e = tbl(s, dir, "embeddings")
+      SimilarityOps.IvfIndex(nlist = 16, nprobe = 4)
+        .topK(e, e.filter(col("vec_id") === 0), k = 10)
+    },
 
     // -- text analysis (prompt: tokens / quality / lang-id / fingerprint) ----
     "token_bpe" -> { (s, dir) =>
@@ -732,6 +737,39 @@ object SparkEntry {
                sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
                sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
              FROM z GROUP BY vec_id
+           )
+           SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
+           FROM sc ORDER BY 1 LIMIT 10""",
+
+      "ann_ivf" ->
+        """WITH cent AS (
+             SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 16
+           ), z AS (
+             SELECT e.vec_id, cent.c, unnest(e.embedding) AS x, unnest(cent.ce) AS y
+             FROM embeddings e, cent
+           ), s AS (
+             SELECT vec_id, c, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM z GROUP BY 1, 2
+           ), ranked AS (
+             SELECT vec_id, c, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dot/(nx*ny) DESC, c DESC) AS rn
+             FROM s
+           ), asn AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+           qcells AS (SELECT c AS cell FROM ranked WHERE vec_id = 0 AND rn <= 4),
+           qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+           cand AS (
+             SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN asn a ON a.vec_id = e.vec_id JOIN qcells q ON a.cell = q.cell
+           ), z2 AS (
+             SELECT cnd.vec_id, unnest(cnd.embedding) AS x, unnest(qv.v) AS y
+             FROM cand cnd, qv
+           ), sc AS (
+             SELECT vec_id, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM z2 GROUP BY 1
            )
            SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",

@@ -93,6 +93,68 @@ object SimilarityOps {
     }
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * assigns every vector to its best cell; a query probes only its
+    * `nprobe` best cells and reranks exactly.
+    *
+    * The quantizer here is sampled (the `nlist` lowest-id vectors act
+    * as centroids) rather than k-means-trained — deterministic, which
+    * is what the cross-engine verification needs; swapping in trained
+    * centroids changes only the `centroids` method. Centroids live as
+    * PLAN-TIME literal arrays (the broadcast-dict pattern: nlist ≈ √N
+    * stays driver-size even at 10^9 vectors), so cell assignment is a
+    * per-row codegen'd expression and the index write is just
+    * `partitionBy(cell)` — a query then scans nprobe partitions, not
+    * the corpus.
+    */
+  final case class IvfIndex(nlist: Int = 16, nprobe: Int = 4) {
+
+    /** Deterministic sampled centroids: the nlist lowest ids. */
+    def centroids(df: DataFrame, idCol: String = "vec_id",
+        vecCol: String = "embedding"): Array[Array[Double]] =
+      df.where(col(idCol) < nlist).orderBy(col(idCol))
+        .select(transform(col(vecCol), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
+
+    private def cosTo(vecCol: Column, cent: Array[Double]): Column = {
+      val c = array(cent.map(lit): _*)
+      val norm = math.sqrt(cent.map(x => x * x).sum)
+      val vd = transform(vecCol, x => x.cast("double"))
+      val dot = aggregate(zip_with(vd, c, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val nv = sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))
+      dot / (nv * norm)
+    }
+
+    /** (cos, cell) structs ranked best-first for a vector. */
+    private def rankedCells(vecCol: Column, cents: Array[Array[Double]]): Column =
+      reverse(array_sort(array(cents.zipWithIndex.map { case (ct, i) =>
+        struct(cosTo(vecCol, ct).as("cos"), lit(i).as("cell"))
+      }: _*)))
+
+    /** Best cell id for each vector (the index/partition column). */
+    def cell(vecCol: Column, cents: Array[Array[Double]]): Column =
+      element_at(rankedCells(vecCol, cents), 1).getField("cell")
+
+    /** ANN top-k: probe the query's nprobe best cells, exact rerank. */
+    def topK(corpus: DataFrame, query: DataFrame, k: Int,
+        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      val cents = centroids(corpus, idCol, vecCol)
+      val probes = slice(rankedCells(col(vecCol), cents), 1, nprobe)
+      val q = query.select(col(vecCol).as("__qv__"),
+        transform(probes, p => p.getField("cell")).as("__qcells__"))
+      val cand = corpus.withColumn("__cell__", cell(col(vecCol), cents))
+        .join(broadcast(q), array_contains(col("__qcells__"), col("__cell__")))
+      val scored = cand
+        .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+      scored.withColumn("rank", row_number()
+          .over(Window.orderBy(col("cos").desc, col(idCol))).cast("int"))
+        .select(col("rank"), col(idCol))
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) with
     * rounded cosine ≥ threshold.
     *

@@ -114,6 +114,24 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(!top.map(_.getLong(1)).contains(12L))
   }
 
+  test("ivf ann: identical vector ranks first; vectors outside probed cells excluded") {
+    val ivf = SimilarityOps.IvfIndex(nlist = 2, nprobe = 1)
+    // centroids = vec 0 (x-axis-ish) and vec 1 (y-axis-ish)
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (10L, Seq(0.9f, 0.1f, 0f, 0f)), // cell of centroid 0
+      (11L, Seq(0.1f, 0.9f, 0f, 0f))  // cell of centroid 1
+    ).toDF("vec_id", "embedding")
+    val query = Seq((99L, Seq(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = ivf.topK(corpus, query, 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    // probe only cell 0: vec 0 and 10 are candidates, 1 and 11 are not
+    assert(top.head._2 == 0L)
+    val ids = top.map(_._2).toSet
+    assert(ids.contains(10L) && !ids.contains(11L) && !ids.contains(1L))
+  }
+
   test("token counts: whitespace vs bpe-ish tokens") {
     val d = docs(1L -> "hello, world! x2")
     val r = TextOps.tokenCounts(d).collect().head
