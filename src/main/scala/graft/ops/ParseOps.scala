@@ -172,6 +172,25 @@ object ParseOps {
     * quoted values. Parsed into one `MapType` column via `str_to_map`
     * (codegen'd); project pairs out with [[extract]].
     */
+  /** `str_to_map` with LAST-wins duplicate-key semantics (the Go
+    * splitter's `map[key]=value` behavior) — Spark 4's default map
+    * policy THROWS on duplicate keys, which would make the parser
+    * non-total over arbitrary input. */
+  def strToMapLastWin(src: Column, delimiter: String,
+      separator: String): Column = {
+    val parts = split(src, java.util.regex.Pattern.quote(delimiter), -1)
+    val sepLoc = (p: Column) => instr(p, separator)
+    val entries = transform(parts, p => struct(
+      when(sepLoc(p) > 0, p.substr(lit(1), sepLoc(p) - 1)).otherwise(p).as("key"),
+      when(sepLoc(p) > 0, p.substr(sepLoc(p) + separator.length, length(p)))
+        .as("value")))
+    // keep an entry only if no LATER entry shares its key (last wins)
+    val deduped = filter(entries, (e, i) =>
+      !exists(slice(entries, i + 2, size(entries)),
+        p => p.getField("key") <=> e.getField("key")))
+    map_from_entries(deduped)
+  }
+
   final case class KeyValueParser(
       sourceKey: String,
       delimiter: String = "\t",
@@ -179,9 +198,7 @@ object ParseOps {
       destKey: String = "kv") {
     def apply(df: DataFrame): DataFrame =
       df.withColumn(destKey,
-        str_to_map(col(sourceKey),
-          lit(java.util.regex.Pattern.quote(delimiter)),
-          lit(java.util.regex.Pattern.quote(separator))))
+        strToMapLastWin(col(sourceKey), delimiter, separator))
 
     /** Surface selected keys as typed string columns. */
     def extract(df: DataFrame, keys: Seq[String]): DataFrame =
@@ -214,7 +231,7 @@ object ParseOps {
         "__LINE__" -> regexp_extract(src, rx, 5),
         "microtime" -> unix_micros(to_timestamp(regexp_extract(src, rx, 1),
           "yyyy-MM-dd HH:mm:ss.SSSSSS")).cast(StringType),
-        "apsara_kv" -> str_to_map(regexp_replace(tail, "^\\t", ""), lit("\\t"), lit(":")))
+        "apsara_kv" -> strToMapLastWin(regexp_replace(tail, "^\\t", ""), "\t", ":"))
       opts.finish(df, sourceKey, ok, fields)
     }
   }

@@ -44,11 +44,13 @@ object TextOps {
           .as("mean_word_len"),
         round(size(array_distinct(col("__w__"))).cast("double")
           / size(col("__w__")), 4).as("type_token_ratio"),
-        round((length(t).cast("double")
-          - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
-          / length(t).cast("double"), 4).as("punct_ratio"),
-        round(length(regexp_replace(t, "[^a-zA-Z]", ""))
-          / length(t).cast("double"), 4).as("alpha_ratio"))
+        // try_divide: empty text yields null ratios instead of an ANSI
+        // divide-by-zero failure (parsers must be total)
+        round(try_divide(length(t).cast("double")
+          - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")),
+          length(t).cast("double")), 4).as("punct_ratio"),
+        round(try_divide(length(regexp_replace(t, "[^a-zA-Z]", "")),
+          length(t).cast("double")), 4).as("alpha_ratio"))
   }
 
   /** Tiny per-language marker-word lists for the n-gram/stopword

@@ -50,7 +50,7 @@ object TranscriptPipeline {
       .withColumn("__json__",
         when(t.rlike("^\\s*\\{"), from_json(t, "map<string,string>",
           Map.empty[String, String])))
-      .withColumn("__kv__", when(isKv, str_to_map(t, lit(" "), lit("="))))
+      .withColumn("__kv__", when(isKv, ParseOps.strToMapLastWin(t, " ", "=")))
 
     val isJson = col("__json__").isNotNull
     val fmt = when(isNginx, "nginx").when(isJson, "json")
