@@ -50,7 +50,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val convs = sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong)
-      .getOrElse(if (sfDir.contains("sf0.1")) 100000L else 20000L)
+      .getOrElse(if (sfDir.contains("sf0.1")) 200000L else 20000L)
     val inputDir = s"/tmp/graft_bench_input_$convs"
 
     // -- materialize the deterministic transcript table (untimed) ----------
