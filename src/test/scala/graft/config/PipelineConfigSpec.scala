@@ -61,6 +61,40 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("every registry type builds and runs from a minimal config") {
+    val minimal: Map[String, String] = Map(
+      "parse_regex" -> """{"type":"parse_regex","sourceKey":"text","regex":"(\\S+) (\\d+)","keys":["k1","k2"]}""",
+      "parse_json" -> """{"type":"parse_json","sourceKey":"text","keys":["level"]}""",
+      "parse_delimiter" -> """{"type":"parse_delimiter","sourceKey":"text","separator":",","keys":["a","b"]}""",
+      "parse_kv" -> """{"type":"parse_kv","sourceKey":"text","keys":["status"]}""",
+      "parse_timestamp" -> """{"type":"parse_timestamp","sourceKey":"tstr","format":"yyyy-MM-dd"}""",
+      "grok" -> """{"type":"grok","sourceKey":"text","match":["%{IP:ip}"]}""",
+      "filter_include" -> """{"type":"filter_include","include":{"role":".*"}}""",
+      "filter_exclude" -> """{"type":"filter_exclude","exclude":{"text":"\\?\\?.*"}}""",
+      "add_fields" -> """{"type":"add_fields","fields":{"env":"prod"}}""",
+      "rename" -> """{"type":"rename","mapping":{"tool":"tool2"}}""",
+      "drop" -> """{"type":"drop","keys":["ts"]}""",
+      "pick" -> """{"type":"pick","include":["conv_id","turn_idx","text","role"]}""",
+      "dict_map" -> """{"type":"dict_map","sourceKey":"role","destKey":"rc","dict":{"user":"u"},"missing":"other"}""",
+      "desensitize" -> """{"type":"desensitize","sourceKey":"text","before":"latency_ms=","pattern":"\\d+"}""",
+      "string_replace" -> """{"type":"string_replace","sourceKey":"text","pattern":"\\d+","replacement":"N"}""",
+      "base64_encode" -> """{"type":"base64_encode","sourceKey":"text","destKey":"b64"}""",
+      "base64_decode" -> """{"type":"base64_decode","sourceKey":"b64e","destKey":"plain"}""",
+      "md5" -> """{"type":"md5","sourceKey":"text","destKey":"h"}""",
+      "pack_json" -> """{"type":"pack_json","sourceKeys":["role","tool"],"destKey":"p"}""")
+    assert(minimal.keySet == PipelineConfig.registry.keySet,
+      s"test must cover every registry type; missing: " +
+        (PipelineConfig.registry.keySet -- minimal.keySet))
+    val base = Transcripts.generate(spark, 10)
+      .withColumn("tstr", org.apache.spark.sql.functions.lit("2024-01-02"))
+      .withColumn("b64e", org.apache.spark.sql.functions.lit("aGk="))
+    val n = base.count()
+    minimal.foreach { case (t, cfg) =>
+      val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)
+      assert(out.count() == n, s"type $t lost rows")
+    }
+  }
+
   test("configured parser failure semantics flow through (keepSource default)") {
     val cfg =
       """processors:

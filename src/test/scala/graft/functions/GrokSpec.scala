@@ -32,6 +32,31 @@ class GrokSpec extends AnyFunSuite {
     assert("[01/Jan/2025:00:00:00 +0000]".matches(rx))
   }
 
+  test("combined apache log composite pattern parses a full access line") {
+    import graft.SparkTestSession._
+    import graft.ops.ParseOps
+    val line = """10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://ref/" "Mozilla/4.08""""
+    val out = ParseOps.GrokParser("text", Seq("%{COMBINEDAPACHELOG}"))(
+      textDf(line))
+    val m = collectMaps(out).head
+    assert(m("clientip") == "10.1.2.3" && m("auth") == "frank" &&
+      m("verb") == "GET" && m("response") == "200" && m("bytes") == "2326" &&
+      m("agent") == "\"Mozilla/4.08\"")
+  }
+
+  test("uuid / mac / email / syslog patterns match") {
+    val cases = Seq(
+      "%{UUID:u}" -> "123e4567-e89b-12d3-a456-426614174000",
+      "%{MAC:m}" -> "aa:bb:cc:dd:ee:ff",
+      "%{EMAILADDRESS:e}" -> "alice.b@example.org",
+      "%{SYSLOGTIMESTAMP:t}" -> "Jan  7 04:05:06",
+      "%{DATE_US:d}" -> "10/31/2025")
+    cases.foreach { case (pat, s) =>
+      val (rx, _) = Grok.compile(pat)
+      assert(s.matches(rx), s"$pat should match '$s'")
+    }
+  }
+
   test("typed aliases: %{P:alias:type} yields cast columns") {
     import graft.SparkTestSession._
     import graft.ops.ParseOps
