@@ -26,11 +26,17 @@ object RunPipeline {
     val Array(input, sinkRoot, runId) = args.take(3)
     val numBuckets = args.lift(3).map(_.toInt).getOrElse(32)
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(s"graft-pipeline-$runId")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+    // spark-submit provides the master; fall back to local[N] when run
+    // directly (sbt runMain)
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master("local[" +
+        sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors.toString) + "]"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

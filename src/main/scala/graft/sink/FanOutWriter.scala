@@ -62,9 +62,16 @@ final case class FanOutWriter(
     val pending = data.where(
       concat_ws("|", col("__sink__"), col("__bucket__")).isin(keep: _*))
 
-    io.overwritePartitions(pending, table,
-      Seq("__sink__", "__bucket__") ++ extraPartCols)
-    Lineage.record(io, runId, pending)
+    // One shuffle on the partition keys so each (sink, bucket) partition
+    // is written by a single task: without it every task writes a file
+    // into every partition (tasks × partitions small files — measured
+    // 3072 files for 96 partitions). maxRecordsPerFile still splits
+    // oversized partitions (LogGroup batching parity).
+    val partCols = Seq("__sink__", "__bucket__") ++ extraPartCols
+    val clustered = pending.repartition(partCols.map(col): _*)
+
+    io.overwritePartitions(clustered, table, partCols)
+    Lineage.record(io, runId, clustered)
     allBuckets.length
   }
 
