@@ -63,11 +63,20 @@ object RouteOps {
     * flushers get the group), conditions `core/pipeline/route/
     * Condition.{h,cpp}` (event-type / tag-equality).
     */
-  final case class MulticastRouter(conditions: Seq[(String, Column)]) {
+  final case class MulticastRouter(conditions: Seq[(String, Column)],
+      // per-sink columns to blank after routing — the C++ Condition's
+      // tag-drop (`core/pipeline/route/Condition.cpp:105-112`: a
+      // tag-equality condition may remove the matched tag from the
+      // group it routes)
+      dropTags: Map[String, Seq[String]] = Map.empty) {
     /** One filtered view per sink — Catalyst shares the scan via
       * ReuseExchange / the caller caches upstream once. */
     def split(df: DataFrame): Map[String, DataFrame] =
-      conditions.map { case (s, c) => s -> df.filter(c) }.toMap
+      conditions.map { case (s, c) =>
+        val routed = df.filter(c)
+        s -> dropTags.getOrElse(s, Nil).foldLeft(routed)((d, t) =>
+          d.withColumn(t, lit(null).cast(d.schema(t).dataType)))
+      }.toMap
 
     /** Single-pass variant: explode the matched-sink array so one write
       * with partitionBy(sinkCol) covers all sinks (duplicate rows for

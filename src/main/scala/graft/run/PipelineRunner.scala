@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.AggOps
 import graft.pipeline.TranscriptPipeline
-import graft.sink.{FanOutWriter, TableIO}
+import graft.sink.{FanOutWriter, Metrics, TableIO}
 
 /** Batch job entry: transcripts → parse → enrich → route → resumable
   * fan-out write → per-sink aggregates (the full north-star pipeline as
@@ -32,10 +32,11 @@ object PipelineRunner {
     val written = writer.write(routed, runId, maxBuckets)
 
     if (maxBuckets == Int.MaxValue) {
-      // aggregates from the durably written table
+      // aggregates + self-metrics from the durably written table
       val back = io.read(spark, writer.table)
       val aggs = AggOps.sinkAggregates(back, bucket = aggBucket)
       io.overwrite(aggs, "sink_aggregates")
+      if (written > 0) Metrics.record(io, runId, back)
       RunResult(runId, written, complete = true)
     } else RunResult(runId, written, complete = false)
   }

@@ -45,6 +45,17 @@ class RouteGroupAggSpec extends AnyFunSuite {
     assert(split("s1").count() == 1 && split("s2").count() == 2 && split("s3").count() == 0)
   }
 
+  test("multicast tag-drop: matched tag blanked only in that sink's copy") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", "tool"), ("b", "user")).toDF("text", "role")
+    val mc = RouteOps.MulticastRouter(
+      Seq("tools" -> (col("role") === "tool"), "all" -> lit(true)),
+      dropTags = Map("tools" -> Seq("role")))
+    val out = mc.split(df)
+    assert(out("tools").select("role").collect().forall(_.isNullAt(0)))
+    assert(out("all").select("role").collect().forall(!_.isNullAt(0)))
+  }
+
   test("shardhash: stable md5 buckets within [0, shardCount)") {
     val sh = GroupOps.ShardHash(Seq("role"), 16)
     val buckets = collectMaps(roles.withColumn("b", sh.bucketColumn))

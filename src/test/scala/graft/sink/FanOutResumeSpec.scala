@@ -76,6 +76,18 @@ class FanOutResumeSpec extends AnyFunSuite {
     assert(total == spark.read.parquet(s"$dir/events_routed").count())
   }
 
+  test("self-metrics table: per (sink, fmt) counts sum to total; parse failures surfaced") {
+    val dir = tmp()
+    val io = TableIO(dir)
+    PipelineRunner.run(input, io, "run-m", numBuckets = 4)
+    val m = spark.read.parquet(s"$dir/_metrics")
+    val total = m.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == spark.read.parquet(s"$dir/events_routed").count())
+    // garbage lines exist in the synthetic mix -> raw fmt failures > 0
+    assert(Metrics.parseFailures(spark, io, "run-m") > 0)
+    assert(m.select("fmt").distinct().count() >= 4) // nginx/json/kv/csv/raw...
+  }
+
   test("maxRecordsPerFile bounds rows per file (LogGroup batching parity)") {
     val dir = tmp()
     val io = TableIO(dir, maxRecordsPerFile = 200)
