@@ -344,6 +344,11 @@ object SparkEntry {
       SimilarityOps.EmbedNearDup(threshold = 0.35)
         .pairs(tbl(s, dir, "embeddings"))
     },
+    "embed_neardup_lsh" -> { (s, dir) =>
+      SimilarityOps.EmbedNearDup(threshold = 0.35, exact = false,
+        lsh = SimilarityOps.SignLsh(planes = 8, dims = 64))
+        .pairs(tbl(s, dir, "embeddings"))
+    },
     "ann_lsh" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")
       SimilarityOps.SignLsh(planes = 8, dims = 64)
@@ -704,6 +709,33 @@ object SparkEntry {
         """WITH z AS (
              SELECT e.vec_id AS va, f.vec_id AS vb, unnest(e.embedding) AS x, unnest(f.embedding) AS y
              FROM embeddings e JOIN embeddings f ON e.vec_id < f.vec_id
+           ), s AS (
+             SELECT va, vb, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM z GROUP BY va, vb
+           )
+           SELECT va AS vec_a, vb AS vec_b, round(dot/(nx*ny), 4) AS cos
+           FROM s WHERE round(dot/(nx*ny), 4) >= 0.35""",
+
+      "embed_neardup_lsh" ->
+        """WITH planes AS (
+             SELECT p.p, d.d,
+               CASE WHEN cast(('0x' || substr(md5(p.p || ':' || d.d), 1, 1)) AS BIGINT) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS w
+             FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS d) d
+           ), proj AS (
+             SELECT e.vec_id, pl.p, sum(cast(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS s
+             FROM embeddings e, planes pl GROUP BY 1, 2
+           ), sig AS (
+             SELECT vec_id, cast(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS b
+             FROM proj GROUP BY 1
+           ), z AS (
+             SELECT e.vec_id AS va, f.vec_id AS vb, unnest(e.embedding) AS x, unnest(f.embedding) AS y
+             FROM embeddings e JOIN sig se ON se.vec_id = e.vec_id
+                  JOIN sig sf ON true
+                  JOIN embeddings f ON f.vec_id = sf.vec_id
+             WHERE e.vec_id < f.vec_id AND se.b = sf.b
            ), s AS (
              SELECT va, vb, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
                sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
