@@ -62,18 +62,18 @@ object SimilarityOps {
         if ((Integer.parseInt(hex.substring(0, 1), 16) & 1) == 1) 1.0 else -1.0
       }
 
-    /** Bucket id column: bit p set iff dot(vec, w_p) > 0. */
-    def bucket(vecCol: Column): Column = {
-      val bits = (0 until planes).map { p =>
-        val w = array(weights(p).map(lit): _*)
-        val dot = aggregate(
-          zip_with(transform(vecCol, x => x.cast("double")), w,
-            (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    /** Bucket id column: bit p set iff dot(vec, w_p) > 0. The cast
+      * vector is let-bound so it is built once, not once per plane. */
+    def bucket(vecCol: Column): Column =
+      graft.functions.Cols.let(transform(vecCol, x => x.cast("double"))) { vd =>
+        val bits = (0 until planes).map { p =>
+          val w = array(weights(p).map(lit): _*)
+          val dot = aggregate(zip_with(vd, w, (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x)
+          when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
       }
-      bits.reduce(_ + _)
-    }
 
     /** ANN top-k: restrict to the query's bucket, exact cosine rerank.
       * Returns (rank, idCol) like the brute-force tier. */
@@ -116,21 +116,22 @@ object SimilarityOps {
         .select(transform(col(vecCol), x => x.cast("double")))
         .collect().map(_.getSeq[Double](0).toArray)
 
-    private def cosTo(vecCol: Column, cent: Array[Double]): Column = {
-      val c = array(cent.map(lit): _*)
-      val norm = math.sqrt(cent.map(x => x * x).sum)
-      val vd = transform(vecCol, x => x.cast("double"))
-      val dot = aggregate(zip_with(vd, c, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val nv = sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))
-      dot / (nv * norm)
-    }
-
-    /** (cos, cell) structs ranked best-first for a vector. */
+    /** (cos, cell) structs ranked best-first for a vector. The cast
+      * vector and its norm are let-bound: computed once per row, not
+      * once per centroid. */
     private def rankedCells(vecCol: Column, cents: Array[Array[Double]]): Column =
-      reverse(array_sort(array(cents.zipWithIndex.map { case (ct, i) =>
-        struct(cosTo(vecCol, ct).as("cos"), lit(i).as("cell"))
-      }: _*)))
+      graft.functions.Cols.let(transform(vecCol, x => x.cast("double"))) { vd =>
+        graft.functions.Cols.let(
+          sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))) { nv =>
+          reverse(array_sort(array(cents.zipWithIndex.map { case (ct, i) =>
+            val c = array(ct.map(lit): _*)
+            val norm = math.sqrt(ct.map(x => x * x).sum)
+            val dot = aggregate(zip_with(vd, c, (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x)
+            struct((dot / (nv * norm)).as("cos"), lit(i).as("cell"))
+          }: _*)))
+        }
+      }
 
     /** Best cell id for each vector (the index/partition column). */
     def cell(vecCol: Column, cents: Array[Array[Double]]): Column =
