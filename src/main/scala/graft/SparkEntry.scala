@@ -20,8 +20,21 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  // The transcript view derivation includes a per-user row_number()
+  // window; deriving it once per QUERY adds 1-4 s of fixed overhead to
+  // every sweep entry. Cache + materialize once per (session, dir) so
+  // per-operator timings measure the operator. (Session-keyed: entries
+  // die with their session; MEMORY_AND_DISK bounds heap at big SF.)
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def transcripts(spark: SparkSession, dir: String): DataFrame =
-    TranscriptView.load(spark, dir)
+    viewCache.getOrElseUpdate((spark, dir), {
+      val df = TranscriptView.load(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly, outside any query's timing
+      df
+    })
 
   private val nginxAnchored = s"^(?:${TranscriptPipeline.nginxRegex})$$"
 
@@ -340,8 +353,8 @@ object SparkEntry {
       DedupOps.NgramJaccard(shingleSize = 3, threshold = 0.2)
         .pairs(tbl(s, dir, "documents"))
     },
-    "embed_neardup" -> { (s, dir) =>
-      SimilarityOps.EmbedNearDup(threshold = 0.35)
+    "embed_neardup" -> { (s, dir) => // exact O(n²) VERIFICATION tier (opt-in)
+      SimilarityOps.EmbedNearDup(threshold = 0.35, exact = true)
         .pairs(tbl(s, dir, "embeddings"))
     },
     "embed_neardup_lsh" -> { (s, dir) =>

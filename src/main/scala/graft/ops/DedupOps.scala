@@ -28,14 +28,20 @@ object DedupOps {
   def words(textCol: Column): Column =
     split(regexp_replace(lower(textCol), "\\s+", " "), " ")
 
-  /** Distinct word `n`-gram shingles. Requires `size(words) >= n`.
+  /** Distinct word `n`-gram shingles; docs with fewer than `n` words
+    * (incl. empty/null text) yield an EMPTY array rather than erroring —
+    * parser totality (`sequence(1, size-n+1)` would otherwise produce a
+    * descending range and `slice(w, 0, n)` throws under ANSI mode).
     * The words expression is let-bound so it evaluates once per row,
     * not once per shingle ([[graft.functions.Cols.let]]). */
   def shingles(wordsCol: Column, n: Int): Column =
     graft.functions.Cols.let(wordsCol)(w =>
-      array_distinct(transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n))))))
+      coalesce(
+        when(size(w) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))),
+        array().cast("array<string>")))
 
   /** Exact dedup: group identical (md5) texts, keep the smallest id. */
   def exact(df: DataFrame, idCol: String = "doc_id",
@@ -166,12 +172,14 @@ object DedupOps {
       val slices = maxDist + 1
       val width = bits / slices
       val sk = apply(df, idCol, textCol)
+      // Integer bit arithmetic (shiftright + mask): double-division
+      // bucketing loses low bits past 53-bit sketches and would silently
+      // drop near-dup pairs.
       val sliced = sk.withColumn("slice",
           explode(sequence(lit(0), lit(slices - 1))))
-        .withColumn("key", pmod(
-          floor(col("simhash") / pow(lit(2.0), col("slice") * width))
-            .cast("long"),
-          lit(1L << width)))
+        .withColumn("key",
+          expr(s"shiftright(simhash, slice * $width)")
+            .bitwiseAND(lit((1L << width) - 1)))
       val a = sliced.select(col(idCol).as("doc_a"), col("simhash").as("sa"),
         col("slice"), col("key"))
       val b = sliced.select(col(idCol).as("doc_b"), col("simhash").as("sb"),
@@ -187,15 +195,29 @@ object DedupOps {
   /** Exact n-gram Jaccard similarity via inverted-index self-join:
     * explode shingles, equi-join on shingle, count intersections, then
     * |A∩B| / (|A|+|B|-|A∩B|). The ground-truth tier for the sketches.
+    *
+    * `maxShingleFreq > 0` drops shingles shared by more than that many
+    * documents from the candidate join (one boilerplate shingle in 10⁶
+    * docs is a 10¹² pair blow-up — same hot-key cap as
+    * [[MinHashLSH.maxBucketSize]]). Doc sizes |A|,|B| are counted BEFORE
+    * the cap, so reported Jaccard is a lower bound for pairs whose
+    * overlap included capped shingles — the standard web-dedup
+    * approximation. 0 = no cap (exact verification tier).
     */
-  final case class NgramJaccard(shingleSize: Int = 3, threshold: Double = 0.2) {
+  final case class NgramJaccard(shingleSize: Int = 3, threshold: Double = 0.2,
+      maxShingleFreq: Int = 0) {
     def pairs(df: DataFrame, idCol: String = "doc_id",
         textCol: String = "text"): DataFrame = {
-      val sh = df
+      val sh0 = df
         .select(col(idCol), shingles(words(col(textCol)), shingleSize).as("sh"))
         .where(size(col("sh")) > 0)
         .select(col(idCol), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
+      val sh = if (maxShingleFreq > 0) {
+        val keep = sh0.groupBy("s").count()
+          .where(col("count") <= maxShingleFreq).drop("count")
+        sh0.join(keep, "s")
+      } else sh0
       val a = sh.select(col(idCol).as("doc_a"), col("n").as("na"), col("s"))
       val b = sh.select(col(idCol).as("doc_b"), col("n").as("nb"), col("s"))
       a.join(b, "s").where(col("doc_a") < col("doc_b"))

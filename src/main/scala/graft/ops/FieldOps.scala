@@ -49,15 +49,38 @@ object FieldOps {
       replacement: String,
       destKey: Option[String] = None,
       // first-only mode wraps the pattern in a ^-anchored lazy prefix
-      // group, so capture-group refs in `replacement` shift by one
+      // group; $N refs in `replacement` are shifted so they still point
+      // at the caller's groups
       replaceAll: Boolean = true) {
     def apply(df: DataFrame): DataFrame = {
       val out =
         if (replaceAll) regexp_replace(col(sourceKey), regex, replacement)
         else regexp_replace(col(sourceKey), s"(?s)^(.*?)(?:$regex)",
-          "$1" + replacement)
+          "$1" + FieldOps.shiftGroupRefs(replacement, 1))
       df.withColumn(destKey.getOrElse(sourceKey), out)
     }
+  }
+
+  /** Shift every unescaped `$N` capture-group reference in a Java-regex
+    * replacement string by `by` (used when a wrapper pattern prepends
+    * capture groups). `\$` escapes are left untouched. Multi-digit runs
+    * are treated as one group number — same greedy read Java's
+    * `Matcher.appendReplacement` performs when that group exists. */
+  private[ops] def shiftGroupRefs(repl: String, by: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < repl.length) {
+      val c = repl.charAt(i)
+      if (c == '\\' && i + 1 < repl.length) {
+        sb.append(c).append(repl.charAt(i + 1)); i += 2
+      } else if (c == '$' && i + 1 < repl.length && repl.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < repl.length && repl.charAt(j).isDigit) j += 1
+        sb.append('$').append(repl.substring(i + 1, j).toInt + by)
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Desensitize (mask) content after an anchor pattern.
@@ -76,18 +99,21 @@ object FieldOps {
       replaceAll: Boolean = true) {
     def apply(df: DataFrame): DataFrame = {
       val src = col(sourceKey)
+      // the mask is a LITERAL (quote $/\ so a "$5" mask can't be read
+      // as a group reference by regexp_replace)
+      val mask = java.util.regex.Matcher.quoteReplacement(replacingString)
       val out = method match {
         case "const" if replaceAll =>
           // Global replace == reference ReplaceAll=true (RE2
           // GlobalReplace, ProcessorDesensitizeNative.cpp:203-207).
           regexp_replace(src, s"($beforePattern)(?:$contentPattern)",
-            "$1" + replacingString)
+            "$1" + mask)
         case "const" =>
           // First-only (ReplaceAll=false): Spark's regexp_replace is
           // global, but a ^-anchored lazy prefix can match at most once.
           regexp_replace(src,
             s"(?s)^(.*?$beforePattern)(?:$contentPattern)",
-            "$1" + replacingString)
+            "$1" + mask)
         case "md5" =>
           // Replace the first occurrence's content with its md5:
           // decompose into (prefix-incl-anchor)(content)(rest) and

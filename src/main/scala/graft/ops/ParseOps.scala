@@ -46,8 +46,14 @@ object ParseOps {
           // 2 regex executions instead of keys.size+1 (a per-key
           // regexp_extract re-runs the whole match). Unmatched optional
           // groups substitute "" exactly like regexp_extract.
+          // Rows whose source CONTAINS the \u0001 delimiter (would shift
+          // the split) fall back to per-group regexp_extract -- rare, so
+          // the packed fast path still dominates.
           val repl = (1 to keys.size).map("$" + _).mkString("\u0001")
-          val packed = split(regexp_replace(src, anchored, repl), "\u0001", -1)
+          val packed = when(!src.contains("\u0001"),
+            split(regexp_replace(src, anchored, repl), "\u0001", -1))
+            .otherwise(array(keys.indices.map(i =>
+              regexp_extract(src, anchored, i + 1)): _*))
           val arrCol = "__rx_groups__"
           val d = df.withColumn(arrCol, when(ok, packed))
           val fields = keys.zipWithIndex.map { case (k, i) =>

@@ -159,12 +159,14 @@ object SimilarityOps {
   /** Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) with
     * rounded cosine ≥ threshold.
     *
-    * `exact = true` compares all pairs (verification tier, O(n²) —
-    * fine at test scale). `exact = false` restricts candidates to pairs
-    * sharing a SignLsh bucket first — the 100 TB path (the self-join key
-    * is the bucket id, so the shuffle fans out per-bucket, not n²).
+    * The DEFAULT is the LSH tier (`exact = false`): candidates are
+    * restricted to pairs sharing a SignLsh bucket — the 100 TB path (the
+    * self-join key is the bucket id, so the shuffle fans out per-bucket,
+    * not n²). `exact = true` compares all pairs via a non-equi self-join
+    * — an O(n²) VERIFICATION tier, opt-in only, never the default a
+    * caller gets by accident.
     */
-  final case class EmbedNearDup(threshold: Double, exact: Boolean = true,
+  final case class EmbedNearDup(threshold: Double, exact: Boolean = false,
       lsh: SignLsh = SignLsh()) {
     def pairs(df: DataFrame, idCol: String = "vec_id",
         vecCol: String = "embedding"): DataFrame = {

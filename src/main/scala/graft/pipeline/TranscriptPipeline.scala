@@ -44,9 +44,15 @@ object TranscriptPipeline {
     //    per field = one JSON parse per field);
     //  - kv: one str_to_map.
     val repl = (1 to nginxKeys.size).map("$" + _).mkString("\u0001")
+    // \u0001-bearing lines (would shift the packed split) fall back to
+    // per-group extraction -- rare, keeps the fast path exact.
     val staged = df
       .withColumn("__nginx__",
-        when(isNginx, split(regexp_replace(t, anchored, repl), "\u0001", -1)))
+        when(isNginx,
+          when(!t.contains("\u0001"),
+            split(regexp_replace(t, anchored, repl), "\u0001", -1))
+          .otherwise(array(nginxKeys.indices.map(i =>
+            regexp_extract(t, anchored, i + 1)): _*))))
       .withColumn("__json__",
         when(t.rlike("^\\s*\\{"), from_json(t, "map<string,string>",
           Map.empty[String, String])))

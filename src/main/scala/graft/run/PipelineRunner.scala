@@ -27,7 +27,11 @@ object PipelineRunner {
       aggBucket: String = "hour"): RunResult = {
     val spark = input.sparkSession
     val routed = TranscriptPipeline(input)
-    val writer = FanOutWriter(io, numBuckets = numBuckets)
+    // sink set declared statically from the router rules: the fan-out
+    // writer enumerates candidate partitions with NO extra data scan
+    val sinkNames = (TranscriptPipeline.router.rules.map(_.sink) :+
+      TranscriptPipeline.router.defaultSink).distinct
+    val writer = FanOutWriter(io, numBuckets = numBuckets, sinks = sinkNames)
 
     val written = writer.write(routed, runId, maxBuckets)
 

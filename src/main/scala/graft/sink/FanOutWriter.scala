@@ -28,7 +28,13 @@ final case class FanOutWriter(
     // extra constant partition columns (streaming: per-micro-batch id,
     // so a REPLAYED batch overwrites only its own partitions while
     // successive batches append)
-    extraPartCols: Seq[String] = Nil) {
+    extraPartCols: Seq[String] = Nil,
+    // the COMPLETE routed-sink name set, when statically known (it
+    // always is: the router's rule list names every sink). Non-empty ⇒
+    // the candidate (sink, bucket) set is enumerated on the driver with
+    // NO data scan; empty ⇒ fall back to a distinct() pass over the
+    // data — fine at test scale, a second full scan at 100 TB.
+    sinks: Seq[String] = Nil) {
 
   private def shard = GroupOps.ShardHash(bucketKeys, numBuckets)
 
@@ -51,16 +57,29 @@ final case class FanOutWriter(
       .completed(spark, io, runId).collect()
       .map(r => (r.getString(0), r.getInt(1))).toSet
 
-    val allBuckets = data.select(col("__sink__"), col("__bucket__"))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1)))
-      .filterNot(done).sortBy(identity).take(maxBuckets)
+    // Candidate partitions: statically sinks × numBuckets (no data
+    // scan); the distinct() pass over the data is only the fallback when
+    // the sink set was not declared.
+    val candidates: Seq[(String, Int)] =
+      if (sinks.nonEmpty)
+        for (s <- sinks.distinct.sorted; b <- 0 until numBuckets) yield (s, b)
+      else data.select(col("__sink__"), col("__bucket__"))
+        .distinct().collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1)))
+
+    val allBuckets = candidates.filterNot(done).sorted.take(maxBuckets)
     if (allBuckets.isEmpty) return 0
 
-    // exact pending-pair predicate (bounded: ≤ sinks × buckets values)
-    val keep = allBuckets.map { case (s, b) => s"$s|$b" }
-    val pending = data.where(
-      concat_ws("|", col("__sink__"), col("__bucket__")).isin(keep: _*))
+    // Common path (fresh complete run): nothing done, nothing truncated
+    // → write the whole input with NO pending filter. Resume/partial
+    // runs use an exact bounded isin predicate (≤ sinks × buckets).
+    val pending =
+      if (done.isEmpty && allBuckets.length == candidates.length) data
+      else {
+        val keep = allBuckets.map { case (s, b) => s"$s|$b" }
+        data.where(
+          concat_ws("|", col("__sink__"), col("__bucket__")).isin(keep: _*))
+      }
 
     // One shuffle on the partition keys so each (sink, bucket) partition
     // is written by a single task: without it every task writes a file
@@ -71,7 +90,9 @@ final case class FanOutWriter(
     val clustered = pending.repartition(partCols.map(col): _*)
 
     io.overwritePartitions(clustered, table, partCols)
-    Lineage.record(io, runId, clustered)
+    // attempted-but-empty partitions get zero-row lineage so resume
+    // marks them complete instead of re-attempting forever
+    Lineage.record(io, runId, clustered, expected = allBuckets)
     allBuckets.length
   }
 

@@ -51,17 +51,31 @@ object Lineage {
 
   /** Append lineage rows for freshly-written data: one row per
     * (sink, bucket) with row count + content hash, computed
-    * distributed (single aggregation, no driver data). */
+    * distributed (single aggregation, no driver data). `expected`
+    * (bounded, ≤ sinks × buckets) lists every ATTEMPTED partition;
+    * attempted coordinates with no data still get a zero-row lineage
+    * record so a resume sees them as complete. */
   def record(io: TableIO, runId: String, written: DataFrame,
-      sinkCol: String = "__sink__", bucketCol: String = "__bucket__"): Unit = {
+      sinkCol: String = "__sink__", bucketCol: String = "__bucket__",
+      expected: Seq[(String, Int)] = Nil): Unit = {
+    val spark = written.sparkSession
     val allCols = written.columns.filterNot(c => c == sinkCol || c == bucketCol)
       .map(col)
-    val rows = written
+    val grouped = written
       .select(col(sinkCol).as("sink"), col(bucketCol).as("bucket"),
         xxhash64(allCols: _*).as("__h__"))
       .groupBy("sink", "bucket")
       // bit_xor: order-independent and overflow-free under ANSI mode
       .agg(count(lit(1)).as("n_rows"), bit_xor(col("__h__")).as("content_hash"))
+    val withEmpty = if (expected.isEmpty) grouped else {
+      import spark.implicits._
+      val exp = expected.toDF("sink", "bucket")
+      exp.join(grouped, Seq("sink", "bucket"), "left")
+        .select(col("sink"), col("bucket"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("content_hash"), lit(0L)).as("content_hash"))
+    }
+    val rows = withEmpty
       .withColumn("run_id", lit(runId))
       .withColumn("pack_id", packId(runId))
       .select("run_id", "sink", "bucket", "n_rows", "content_hash", "pack_id")

@@ -35,7 +35,9 @@ object StreamingRunner {
       trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
       checkpoint: Option[String] = None): DataStreamWriter[Row] = {
     val writer = FanOutWriter(io, numBuckets = numBuckets,
-      extraPartCols = Seq("__batch__"))
+      extraPartCols = Seq("__batch__"),
+      sinks = (TranscriptPipeline.router.rules.map(_.sink) :+
+        TranscriptPipeline.router.defaultSink).distinct)
     val w = routed(stream).writeStream
       .outputMode(OutputMode.Append)
       .trigger(trigger)

@@ -44,16 +44,24 @@ object TokenBucketRateLimit {
     def micros(r: Row): Long =
       r.getTimestamp(tsIdx).getTime * 1000L
 
-    val keyed = df.groupByKey { (r: Row) =>
-      keyIdxs.map(i => String.valueOf(r.get(i))).mkString("")
-    }
+    // Unambiguous composite key: length-prefixed parts with a dedicated
+    // null marker, so ("ab","c") never collides with ("a","bc"), a value
+    // containing the delimiter cannot shift later parts, and a null
+    // field never collides with the literal string "null".
+    def encodeKey(r: Row, idxs: Seq[Int]): String =
+      idxs.map { i =>
+        val v = r.get(i)
+        if (v == null) "\u0000" else { val s = String.valueOf(v); s"${s.length}:$s" }
+      }.mkString("|")
+
+    val keyed = df.groupByKey((r: Row) => encodeKey(r, keyIdxs))
 
     keyed.flatMapGroupsWithState[BucketState, Row](
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: String, rows: Iterator[Row], state: GroupState[BucketState]) =>
         // deterministic replay order within the batch
         val ordered = rows.toSeq.sortBy { r =>
-          (micros(r), tieIdxs.map(i => String.valueOf(r.get(i))).mkString(""))
+          (micros(r), encodeKey(r, tieIdxs))
         }
         var st = state.getOption.getOrElse(
           BucketState(limit.toDouble, ordered.headOption.map(micros).getOrElse(0L)))

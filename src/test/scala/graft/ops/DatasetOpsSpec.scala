@@ -200,6 +200,57 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(out(2L) == Seq(0))
   }
 
+  test("shingles are total: short/empty/null docs yield no shingles, never throw") {
+    val d = Seq((1L, "only two"), (2L, ""), (3L, null: String),
+      (4L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    // every sketch op that shingles must survive sub-n-word docs
+    val mh = DedupOps.MinHashLSH(16, 4, 3, 0.0).pairs(d)
+    assert(mh.count() == 0) // no pairable docs
+    val nj = DedupOps.NgramJaccard(3, 0.0).pairs(d)
+    assert(nj.count() == 0)
+    // direct: the shingle column itself is empty, not an error
+    val sh = d.select(DedupOps.shingles(DedupOps.words(col("text")), 3).as("s"))
+      .collect().map(_.getSeq[String](0).length)
+    assert(sh.toSeq == Seq(0, 0, 0, 6))
+  }
+
+  test("ngram jaccard: maxShingleFreq caps hot shingles out of the candidate join") {
+    // one shingle ("x y z") shared by ALL docs, unique tails elsewhere
+    val d = docs((1L to 6L).map(i => i -> s"x y z t$i u$i v$i w$i"): _*)
+    val uncapped = DedupOps.NgramJaccard(3, 0.01).pairs(d)
+    assert(uncapped.count() == 15) // C(6,2): every pair shares "x y z"
+    val capped = DedupOps.NgramJaccard(3, 0.01, maxShingleFreq = 5).pairs(d)
+    assert(capped.count() == 0) // the only shared shingle was capped
+  }
+
+  test("simhash pairs: 62-bit sketches bucket with integer bit math (no double loss)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 40).map(i => s"v$i")
+    val rows = (1L to 25L).map { i =>
+      i -> Seq.fill(15)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val d = docs(rows: _*)
+    val sh = DedupOps.SimHash(62)
+    val viaJoin = sh.pairs(d, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sk = sh(d).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sk; (b, hb) <- sk if a < b
+      dist = java.lang.Long.bitCount(ha ^ hb) if dist <= 3
+    } yield (a, b, dist)).toSet
+    assert(viaJoin == brute)
+  }
+
+  test("embed near-dup DEFAULT tier is LSH-bucketed, not the O(n^2) nested loop") {
+    val e = Seq((1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val plan = SimilarityOps.EmbedNearDup(0.9).pairs(e)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup sketches run UDF-free (no ScalaUDF in the plan)") {
     val d = docs(1L -> "a b c d e f")
     val plans = Seq(

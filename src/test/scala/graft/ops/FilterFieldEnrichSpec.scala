@@ -106,6 +106,20 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     assert(collectMaps(none).head("text") == "pwd=secret1 other pwd=secret2")
   }
 
+  test("string_replace first-only: capture-group refs in replacement stay aligned") {
+    val s = spark; import s.implicits._
+    val df = Seq("pwd=secret1 other pwd=secret2").toDF("text")
+    // the wrapper pattern prepends one group; $1/$2 must still mean the
+    // CALLER's groups
+    val sr = FieldOps.StringReplace("text", "(secret)(\\d)", "$2-$1",
+      replaceAll = false)(df)
+    assert(collectMaps(sr).head("text") == "pwd=1-secret other pwd=secret2")
+    // a literal \$ escape survives untouched
+    val lit = FieldOps.StringReplace("text", "secret(\\d)", "\\$$1",
+      replaceAll = false)(df)
+    assert(collectMaps(lit).head("text") == "pwd=$1 other pwd=secret2")
+  }
+
   test("base64 round trip, md5, pack_json, anchor") {
     val s = spark; import s.implicits._
     val df = Seq(("abc", "start[MID]stop")).toDF("a", "b")

@@ -129,6 +129,24 @@ class StreamingSpec extends AnyFunSuite {
       ("B", "f0")))
   }
 
+  test("token bucket: adjacent multi-field keys never collide; null field is its own key") {
+    // ("ab","c") vs ("a","bc") concatenate identically without length
+    // prefixes; a null tool must not collide with the string "null"
+    val rows = Seq(
+      Turn("ab", 0, "c", "k1", "none", ts(0)),
+      Turn("a", 0, "bc", "k2", "none", ts(0)),
+      Turn("z", 0, "r", "k3", null, ts(0)),
+      Turn("z", 1, "r", "k4", "null", ts(0)))
+    val kept = TokenBucketRateLimit(rows.toDF(), Seq("conv_id", "role"),
+        limit = 1, periodSeconds = 3600, tieBreak = Seq("turn_idx"))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(kept.contains("k1") && kept.contains("k2"))
+    val keptTool = TokenBucketRateLimit(rows.toDF(), Seq("tool"),
+        limit = 1, periodSeconds = 3600, tieBreak = Seq("turn_idx"))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(keptTool.intersect(Set("k3", "k4")) == Set("k3", "k4"))
+  }
+
   test("token bucket in a real stream: state persists across micro-batches") {
     val mem = MemoryStream[Turn](spark)
     val limited = TokenBucketRateLimit(mem.toDF(), Seq("conv_id"),
