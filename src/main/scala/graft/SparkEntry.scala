@@ -88,11 +88,14 @@ object SparkEntry {
       ParseOps.TimestampParser("ts_str", "yyyy-MM-dd HH:mm:ss", "ts_parsed")(t)
         .select("conv_id", "turn_idx", "ts_parsed")
     },
-    "apsara_parse" -> { (s, _) => // rows-only: apsara lines exist in synth data
-      val t = Transcripts.generate(s, 2000)
-      ParseOps.ApsaraParser("text")(t)
+    "apsara_parse" -> { (s, dir) =>
+      ParseOps.ApsaraParser("text")(transcripts(s, dir))
         .filter(col("__LEVEL__").isNotNull)
-        .select("conv_id", "turn_idx", "__LEVEL__", "__THREAD__", "__FILE__", "__LINE__")
+        .select(col("conv_id"), col("turn_idx"), col("time"),
+          col("__LEVEL__").as("level"), col("__THREAD__").as("thread"),
+          col("__FILE__").as("file"), col("__LINE__").as("line"),
+          col("microtime"),
+          try_element_at(col("apsara_kv"), lit("shard")).as("shard"))
     },
 
     // -- filters (SURVEY §2.3) ---------------------------------------------
@@ -211,10 +214,8 @@ object SparkEntry {
     "conv_stats" -> { (s, dir) =>
       AggOps.conversationStats(transcripts(s, dir))
     },
-    "multiline_merge" -> { (s, _) => // rows-only: stack traces in synth data
-      val t = Transcripts.generate(s, 2000)
-      AggOps.MultilineMerge("^java\\.lang")(t)
-        .filter(col("n_lines") > 1)
+    "multiline_merge" -> { (s, dir) =>
+      AggOps.MultilineMerge("^java\\.lang")(transcripts(s, dir))
         .select("conv_id", "segment", "first_turn", "n_lines", "merged_text")
     },
 
@@ -459,6 +460,35 @@ object SparkEntry {
       "timestamp_parse" -> withCte(
         """SELECT conv_id, turn_idx, date_trunc('second', ts) AS ts_parsed
            FROM transcripts"""),
+
+      "apsara_parse" -> withCte(
+        """SELECT conv_id, turn_idx,
+           regexp_extract(text, '^\[([^\]]+)\]', 1) AS time,
+           regexp_extract(text, '^\[[^\]]+\]\t\[(\w+)\]', 1) AS level,
+           regexp_extract(text, '^\[[^\]]+\]\t\[\w+\]\t\[([0-9]+)\]', 1) AS thread,
+           regexp_extract(text, '\t\[([^:\]]+):[0-9]+\]', 1) AS file,
+           regexp_extract(text, '\t\[[^:\]]+:([0-9]+)\]', 1) AS line,
+           cast(epoch_us(strptime(regexp_extract(text, '^\[([^\]]+)\]', 1),
+             '%Y-%m-%d %H:%M:%S.%f')) AS STRING) AS microtime,
+           regexp_extract(text, 'shard:([0-9]+)', 1) AS shard
+           FROM transcripts
+           WHERE regexp_matches(text, '^\[[^\]]+\]\t\[\w+\]\t\[[0-9]+\]\t\[[^:\]]+:[0-9]+\]')"""),
+
+      "multiline_merge" -> withCte(
+        """, flagged AS (
+             SELECT conv_id, turn_idx, text,
+               CASE WHEN regexp_matches(text, '^java\.lang') THEN 1 ELSE 0 END AS s
+             FROM transcripts),
+           seg AS (
+             SELECT *, sum(s) OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg0
+             FROM flagged)
+           SELECT conv_id,
+             CASE WHEN seg0 = 0 THEN -cast(turn_idx AS BIGINT) - 1
+                  ELSE cast(seg0 AS BIGINT) END AS segment,
+             min(turn_idx) AS first_turn, count(*) AS n_lines,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS merged_text
+           FROM seg GROUP BY 1, 2"""),
 
       "filter_include" -> withCte(
         """SELECT role, count(*) AS n FROM transcripts

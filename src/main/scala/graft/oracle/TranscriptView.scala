@@ -25,6 +25,20 @@ object TranscriptView {
   private val statusSql =
     "CASE mod(event_id, 6) WHEN 3 THEN 301 WHEN 4 THEN 404 WHEN 5 THEN 500 ELSE 200 END"
 
+  /** Apsara-format line (reference ProcessorParseApsaraNative fixture
+    * shape): `[time]\t[LEVEL]\t[thread]\t[file:line]\tk:v\tk:v`. The
+    * time-of-day is DERIVED (not formatted from ts) because strftime /
+    * date_format spellings differ between engines; every piece below is
+    * portable (`concat`/`chr`/`lpad`/`mod`). */
+  private val apsaraSql =
+    """concat('[2025-01-01 00:00:', lpad(cast(mod(event_id, 60) AS STRING), 2, '0'),
+      '.', lpad(cast(mod(event_id * 7919, 1000000) AS STRING), 6, '0'), ']', chr(9),
+      '[', CASE mod(event_id, 3) WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARNING' ELSE 'ERROR' END, ']', chr(9),
+      '[', cast(mod(event_id, 64) AS STRING), ']', chr(9),
+      '[worker.cpp:', cast(mod(event_id, 900) + 10 AS STRING), ']', chr(9),
+      'shard:', cast(mod(event_id, 16) AS STRING), chr(9),
+      'queue:', cast(mod(event_id, 128) AS STRING))"""
+
   /** Portable Spark-SQL/DuckDB CTE body over table `events`. */
   val cte: String = s"""SELECT
   concat('conv-', lpad(cast(user_id AS STRING), 8, '0')) AS conv_id,
@@ -42,6 +56,11 @@ object TranscriptView {
       $statusSql, mod(event_id * 13, 2000))
     WHEN mod(event_id, 10) = 8 THEN printf('%s,%d,"item %d",%d', event_type,
       $statusSql, mod(event_id, 500), mod(event_id * 37, 100000))
+    WHEN mod(event_id, 40) = 9 THEN $apsaraSql
+    WHEN mod(event_id, 40) = 19 THEN printf('java.lang.RuntimeException: boom in %s (id %d)',
+      event_type, mod(event_id, 1000))
+    WHEN mod(event_id, 40) = 29 THEN concat(chr(9), printf('at com.graft.Svc.call(Svc.java:%d)',
+      mod(event_id, 2000) + 1))
     ELSE printf('??%d??', event_id)
   END AS text,
   CASE WHEN event_type IN ('error', 'signup') THEN

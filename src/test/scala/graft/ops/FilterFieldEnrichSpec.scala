@@ -120,6 +120,21 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     assert(collectMaps(lit).head("text") == "pwd=$1 other pwd=secret2")
   }
 
+  test("encrypt: aes_decrypt round-trips the plaintext (CBC/PKCS, iv-prefixed)") {
+    val s = spark; import s.implicits._
+    val keyHex = "00112233445566778899aabbccddeeff"
+    val df = Seq("attack at dawn", "", "unicode €𝄞").toDF("text")
+    val enc = FieldOps.Encrypt("text", keyHex,
+      ivHex = "000102030405060708090a0b0c0d0e0f")(df)
+    // ciphertext != plaintext, and decrypt(key) recovers it exactly
+    val dec = enc.select(
+      aes_decrypt(unbase64(col("text")), unhex(lit(keyHex)),
+        lit("CBC"), lit("PKCS"), lit("".getBytes)).cast("string").as("back"))
+      .collect().map(_.getString(0)).toSeq
+    assert(dec == Seq("attack at dawn", "", "unicode €𝄞"))
+    assert(!collectMaps(enc).map(_("text")).contains("attack at dawn"))
+  }
+
   test("base64 round trip, md5, pack_json, anchor") {
     val s = spark; import s.implicits._
     val df = Seq(("abc", "start[MID]stop")).toDF("a", "b")
