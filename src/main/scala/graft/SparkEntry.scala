@@ -218,6 +218,15 @@ object SparkEntry {
       AggOps.MultilineMerge("^java\\.lang")(transcripts(s, dir))
         .select("conv_id", "segment", "first_turn", "n_lines", "merged_text")
     },
+    "multiline_endonly" -> { (s, dir) => // end-only mode: garbage ??..?? terminators
+      AggOps.MultilineMerge(endPattern = Some("\\?\\?$"))(transcripts(s, dir))
+        .select("conv_id", "segment", "first_turn", "n_lines", "merged_text")
+    },
+    "multiline_startcont" -> { (s, dir) => // start+continue: stack head + \tat lines
+      AggOps.MultilineMerge(startPattern = Some("^java\\.lang"),
+        continuePattern = Some("^\\tat "))(transcripts(s, dir))
+        .select("conv_id", "segment", "first_turn", "n_lines", "merged_text")
+    },
 
     // -- more processors / aggregates (SURVEY §2.2, §2.4, §2.5, §2.8) --------
     "json_expand" -> { (s, dir) =>
@@ -489,6 +498,45 @@ object SparkEntry {
              min(turn_idx) AS first_turn, count(*) AS n_lines,
              string_agg(text, chr(10) ORDER BY turn_idx) AS merged_text
            FROM seg GROUP BY 1, 2"""),
+
+      "multiline_endonly" -> withCte(
+        """, flagged AS (
+             SELECT conv_id, turn_idx, text,
+               CASE WHEN regexp_matches(text, '\?\?$') THEN 1 ELSE 0 END AS e
+             FROM transcripts),
+           seg AS (
+             SELECT *, coalesce(sum(e) OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lagseg,
+               sum(e) OVER (PARTITION BY conv_id) AS tot
+             FROM flagged)
+           SELECT conv_id,
+             CASE WHEN lagseg = tot THEN -cast(turn_idx AS BIGINT) - 1
+                  ELSE cast(lagseg AS BIGINT) + 1 END AS segment,
+             min(turn_idx) AS first_turn, count(*) AS n_lines,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS merged_text
+           FROM seg GROUP BY 1, 2"""),
+
+      "multiline_startcont" -> withCte(
+        """, flagged AS (
+             SELECT conv_id, turn_idx, text,
+               CASE WHEN regexp_matches(text, '^java\.lang') THEN 1 ELSE 0 END AS s,
+               CASE WHEN regexp_matches(text, '^\tat ') THEN 1 ELSE 0 END AS c
+             FROM transcripts),
+           runs AS (
+             SELECT *, sum(s) OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+             FROM flagged),
+           badx AS (
+             SELECT *, sum(CASE WHEN s = 1 OR c = 1 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY conv_id, rn ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bad
+             FROM runs)
+           SELECT conv_id,
+             CASE WHEN rn = 0 OR bad > 0 THEN -cast(turn_idx AS BIGINT) - 1
+                  ELSE cast(rn AS BIGINT) END AS segment,
+             min(turn_idx) AS first_turn, count(*) AS n_lines,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS merged_text
+           FROM badx GROUP BY 1, 2"""),
 
       "filter_include" -> withCte(
         """SELECT role, count(*) AS n FROM transcripts
