@@ -126,6 +126,15 @@ object SparkEntry {
       op(transcripts(s, dir)).groupBy(col("role"), col("tool"), col("speaker_kind"))
         .agg(count(lit(1)).as("n"))
     },
+    "filter_key_regex" -> { (s, dir) =>
+      // parse EVERY line's space/= tokens into a keys map, then keep
+      // rows whose key NAMES satisfy the include/exclude regexes — only
+      // the kv-format lines carry a latency_* key
+      val parsed = ParseOps.KeyValueParser("text", " ", "=")(transcripts(s, dir))
+      FilterOps.KeyRegexFilter("kv",
+        include = Seq("^latency_", "^tool$"), exclude = Seq("^debug"))(parsed)
+        .select("conv_id", "turn_idx", "text")
+    },
     "rate_limit" -> { (s, dir) =>
       FilterOps.RateLimit(Seq("role"), limit = 1, tsCol = "ts",
         bucket = "1 hour", tieBreak = Seq("conv_id", "turn_idx"))(
@@ -556,6 +565,18 @@ object SparkEntry {
                 WHEN contains(role, 's') THEN 'sys' END AS speaker_kind,
            count(*) AS n
            FROM transcripts GROUP BY 1, 2, 3"""),
+
+      "filter_key_regex" -> withCte(
+        """, keyed AS (
+             SELECT conv_id, turn_idx, text,
+               list_transform(str_split(text, ' '),
+                 x -> CASE WHEN instr(x, '=') > 0
+                           THEN x[1:instr(x, '=')-1] ELSE x END) AS ks
+             FROM transcripts)
+           SELECT conv_id, turn_idx, text FROM keyed
+           WHERE len(list_filter(ks, k -> regexp_matches(k, '^latency_'))) > 0
+             AND len(list_filter(ks, k -> regexp_matches(k, '^tool$'))) > 0
+             AND len(list_filter(ks, k -> regexp_matches(k, '^debug'))) = 0"""),
 
       "rate_limit" -> withCte(
         """SELECT role, count(*) AS n_kept FROM (

@@ -31,6 +31,30 @@ object FilterOps {
     def apply(df: DataFrame): DataFrame = df.filter(!coalesce(condition, lit(false)))
   }
 
+  /** Keep-row-iff-key-NAMES-match filter over a map-typed column (the
+    * engine's dynamic-fields representation).
+    * Reference: `plugins/processor/filter/keyregex/
+    * processor_filter_key_regex.go:70-101` (IsLogMatch) — every
+    * `include` regex must match AT LEAST ONE key name; ANY key name
+    * matching ANY `exclude` regex drops the row. Unanchored search
+    * (Go `MatchString`), matching `rlike`. A null/absent map has no
+    * keys: it fails every include, and nothing can exclude it.
+    */
+  final case class KeyRegexFilter(mapCol: String,
+      include: Seq[String] = Nil, exclude: Seq[String] = Nil) {
+    def condition: Column = {
+      val keys = coalesce(map_keys(col(mapCol)), array().cast("array<string>"))
+      graft.functions.Cols.let(keys) { ks =>
+        val inc = include.map(r => exists(ks, k => k.rlike(r)))
+          .foldLeft(lit(true))(_ && _)
+        val exc = exclude.map(r => exists(ks, k => k.rlike(r)))
+          .foldLeft(lit(false))(_ || _)
+        inc && !exc
+      }
+    }
+    def apply(df: DataFrame): DataFrame = df.filter(condition)
+  }
+
   /** EXPRESSION_MODE boolean tree over key-regex leaves.
     * Reference: `ProcessorFilterNative.h:34-94` node classes,
     * `ParseExpressionFromJSON` (`ProcessorFilterNative.cpp:405`).

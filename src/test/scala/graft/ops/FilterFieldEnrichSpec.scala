@@ -106,6 +106,27 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     assert(collectMaps(none).head("text") == "pwd=secret1 other pwd=secret2")
   }
 
+  test("filter_key_regex: every include must match some key; any exclude match drops") {
+    val s = spark; import s.implicits._
+    // vectors per the reference's own test (filter_key_regex_test.go
+    // TestMatch: Include content/key1/key2, Exclude keyd)
+    val df = Seq(
+      (1, Map("content" -> "x", "key1" -> "v1", "key2" -> "v2")),
+      (2, Map("content" -> "x", "key1" -> "v1")), // include key2 unmet
+      (3, Map("content" -> "x", "key1" -> "v1", "key2" -> "v2", "keyd1" -> "z")),
+      (4, null.asInstanceOf[Map[String, String]])
+    ).toDF("id", "m")
+    val f = FilterOps.KeyRegexFilter("m",
+      include = Seq("content", "key1", "key2"), exclude = Seq("keyd"))
+    assert(f(df).select("id").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // exclude-only: a keyless (null) map has nothing to exclude -> kept
+    val exOnly = FilterOps.KeyRegexFilter("m", exclude = Seq("keyd"))
+    assert(exOnly(df).select("id").collect().map(_.getInt(0)).toSet == Set(1, 2, 4))
+    // unanchored search semantics: "key" matches key1/keyd1
+    val inc = FilterOps.KeyRegexFilter("m", include = Seq("key"))
+    assert(inc(df).count() == 3)
+  }
+
   test("string_replace first-only: capture-group refs in replacement stay aligned") {
     val s = spark; import s.implicits._
     val df = Seq("pwd=secret1 other pwd=secret2").toDF("text")
