@@ -2,9 +2,11 @@ package graft.config
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 import scala.jdk.CollectionConverters._
 import graft.ops._
+import graft.sink.{FanOutWriter, TableIO}
 
 /** Config-driven pipeline builder — the Spark analog of the reference's
   * pipeline-config surface (`Pipeline::Init`,
@@ -53,6 +55,8 @@ object PipelineConfig {
     else Map.empty
   private def bool(n: JsonNode, f: String, dflt: Boolean): Boolean =
     if (n.hasNonNull(f)) n.get(f).asBoolean else dflt
+  private def int(n: JsonNode, f: String, dflt: Int): Int =
+    if (n.hasNonNull(f)) n.get(f).asInt else dflt
 
   /** Processor-type registry (SURVEY.md §2.12): name → stage factory. */
   val registry: Map[String, JsonNode => Stage] = Map(
@@ -118,14 +122,147 @@ object PipelineConfig {
     "md5" -> { n => FieldOps.Md5(str(n, "sourceKey"), str(n, "destKey")).apply _ },
     "pack_json" -> { n =>
       FieldOps.PackJson(strs(n, "sourceKeys"), str(n, "destKey")).apply _
+    },
+    "parse_apsara" -> { n => ParseOps.ApsaraParser(str(n, "sourceKey")).apply _ },
+    "grok_custom" -> { n => // grok with a custom pattern dictionary
+      ParseOps.GrokParser(str(n, "sourceKey"), strs(n, "match"),
+        customPatterns = strMap(n, "customPatterns")).apply _
+    },
+    "json_expand" -> { n =>
+      ParseOps.JsonExpand(str(n, "sourceKey"), depth = int(n, "depth", 2),
+        connector = strOpt(n, "connector").getOrElse("_"),
+        prefix = strOpt(n, "prefix").getOrElse(""),
+        destKey = strOpt(n, "destKey").getOrElse("expanded")).apply _
+    },
+    "split_explode" -> { n =>
+      ParseOps.SplitExplode(str(n, "sourceKey"), str(n, "separator"),
+        destKey = strOpt(n, "destKey").getOrElse("part")).apply _
+    },
+    "multiline" -> { n =>
+      AggOps.MultilineMerge(
+        startPattern = strOpt(n, "startPattern"),
+        continuePattern = strOpt(n, "continuePattern"),
+        endPattern = strOpt(n, "endPattern"),
+        convCol = strOpt(n, "convCol").getOrElse("conv_id"),
+        orderCol = strOpt(n, "orderCol").getOrElse("turn_idx"),
+        textCol = strOpt(n, "textCol").getOrElse("text"),
+        discardUnmatched = bool(n, "discardUnmatched", false)).apply _
+    },
+    "filter_key_regex" -> { n =>
+      FilterOps.KeyRegexFilter(str(n, "mapCol"),
+        include = strs(n, "include"), exclude = strs(n, "exclude")).apply _
+    },
+    "filter_expression" -> { n =>
+      FilterOps.ExpressionFilter(parseCond(n.get("expr"))).apply _
+    },
+    "fields_with_condition" -> { n =>
+      val cases = Option(n.get("cases")).toSeq.flatMap(_.elements.asScala).map { c =>
+        val conds = Option(c.get("when")).toSeq.flatMap(_.elements.asScala).map { w =>
+          val rel = strOpt(w, "op").getOrElse("equals") match {
+            case "equals"    => FilterOps.Equals
+            case "regexp"    => FilterOps.Regexp
+            case "contains"  => FilterOps.Contains
+            case "startwith" => FilterOps.StartWith
+            case other => throw new IllegalArgumentException(s"op '$other'")
+          }
+          FilterOps.FieldCond(str(w, "key"), rel, str(w, "value"))
+        }
+        FilterOps.Case(conds, allMustMatch = bool(c, "all", true),
+          strMap(c, "fields"))
+      }
+      FilterOps.FieldsWithCondition(cases,
+        dropIfNotMatch = bool(n, "drop", false)).apply _
+    },
+    "rate_limit" -> { n =>
+      FilterOps.RateLimit(strs(n, "fields"), limit = int(n, "limit", 1),
+        tsCol = strOpt(n, "tsCol").getOrElse("ts"),
+        bucket = strOpt(n, "bucket").getOrElse("1 second"),
+        tieBreak = strs(n, "tieBreak")).apply _
+    },
+    "appender" -> { n =>
+      FieldOps.Appender(str(n, "key"), str(n, "value"),
+        sortLabels = bool(n, "sortLabels", false)).apply _
+    },
+    "anchor" -> { n =>
+      FieldOps.Anchor(str(n, "sourceKey"), str(n, "start"), str(n, "stop"),
+        str(n, "destKey")).apply _
+    },
+    "gotime" -> { n =>
+      FieldOps.TimeReformat(str(n, "sourceKey"), str(n, "destKey"),
+        str(n, "format"), epochKey = strOpt(n, "epochKey")).apply _
+    },
+    "encrypt" -> { n =>
+      FieldOps.Encrypt(str(n, "sourceKey"), str(n, "keyHex"),
+        str(n, "ivHex")).apply _
+    },
+    "drop_last_key" -> { n =>
+      FieldOps.DropLastKey(str(n, "dropKey"), strs(n, "includeKeys")).apply _
+    },
+    "log_to_metric" -> { n =>
+      FieldOps.LogToMetric(strs(n, "labelKeys"), strs(n, "valueKeys"),
+        tsKey = strOpt(n, "tsKey").getOrElse("ts")).apply _
+    },
+    "shardhash" -> { n =>
+      val sh = GroupOps.ShardHash(strs(n, "keys"),
+        int(n, "buckets", 32))
+      df => df.withColumn(strOpt(n, "destKey").getOrElse("__bucket__"),
+        sh.bucketColumn)
+    },
+    "content_value_group" -> { n =>
+      GroupOps.ContentValueGroup(strs(n, "keys")).apply _
     })
 
+  /** Recursive EXPRESSION_MODE condition tree from config:
+    * `{key, regex}` leaf | `{and: [...]}` | `{or: [...]}` | `{not: {}}`. */
+  private def parseCond(n: JsonNode): FilterOps.Cond = {
+    require(n != null, "filter_expression needs an 'expr' node")
+    if (n.hasNonNull("and"))
+      FilterOps.And(n.get("and").elements.asScala.map(parseCond).toSeq)
+    else if (n.hasNonNull("or"))
+      FilterOps.Or(n.get("or").elements.asScala.map(parseCond).toSeq)
+    else if (n.hasNonNull("not")) FilterOps.Not(parseCond(n.get("not")))
+    else FilterOps.KeyRegex(str(n, "key"), str(n, "regex"))
+  }
+
+  /** `sink:` section — drives the resumable fan-out writer (the
+    * config-surface analog of the reference's flushers list). */
+  final case class SinkSpec(
+      table: String,
+      numBuckets: Int,
+      bucketKeys: Seq[String],
+      aggBucket: Option[String])
+
   final case class Spec(processors: Seq[Stage],
-      router: Option[RouteOps.LogstoreRouter]) {
+      router: Option[RouteOps.LogstoreRouter],
+      multicast: Option[RouteOps.MulticastRouter] = None,
+      sink: Option[SinkSpec] = None) {
     /** The composed pipeline: processor line, then routing column. */
     def apply(df: DataFrame): DataFrame = {
       val processed = processors.foldLeft(df)((d, s) => s(d))
-      router.fold(processed)(r => r(processed))
+      val routed = router.fold(processed)(r => r(processed))
+      multicast.fold(routed)(m => m.explodeSinks(routed))
+    }
+
+    /** End-to-end: configured pipeline → resumable fan-out write →
+      * per-sink aggregates — the YAML twin of
+      * [[graft.run.PipelineRunner.run]]. Returns buckets written. */
+    def run(df: DataFrame, io: TableIO, runId: String): Int = {
+      val sk = sink.getOrElse(throw new IllegalArgumentException(
+        "config has no 'sink' section"))
+      val sinkNames = (router.map(r =>
+          (r.rules.map(_.sink) :+ r.defaultSink).distinct).getOrElse(Nil)
+        ++ multicast.map(_.conditions.map(_._1)).getOrElse(Nil)).distinct
+      val writer = FanOutWriter(io, table = sk.table,
+        numBuckets = sk.numBuckets, bucketKeys = sk.bucketKeys,
+        sinks = sinkNames)
+      val routed = apply(df)
+      val written = writer.write(routed, runId)
+      sk.aggBucket.foreach { b =>
+        val back = io.read(df.sparkSession, sk.table)
+        io.overwrite(AggOps.sinkAggregates(back, bucket = b),
+          "sink_aggregates")
+      }
+      written
     }
   }
 
@@ -149,6 +286,29 @@ object PipelineConfig {
           defaultSink = strOpt(r, "default").getOrElse("default"),
           dropDisMatch = bool(r, "dropDisMatch", false))
       }
-    Spec(stages, router)
+    // multicast router: every matching condition's sink gets a copy
+    // (C++ Router::Route parity); conditions are anchored key-regexes
+    val multicast = Option(root.get("multicast")).map { m =>
+      val conds: Seq[(String, Column)] =
+        Option(m.get("conditions")).toSeq.flatMap(_.elements.asScala).map { x =>
+          val c = col(str(x, "key"))
+          str(x, "sink") -> (c.isNotNull &&
+            c.rlike(s"^(?:${str(x, "regex")})$$"))
+        }
+      val dropTags = Option(m.get("dropTags")).map(d =>
+        d.properties.asScala.map(e =>
+          e.getKey -> e.getValue.elements.asScala.map(_.asText).toSeq).toMap)
+        .getOrElse(Map.empty[String, Seq[String]])
+      RouteOps.MulticastRouter(conds, dropTags)
+    }
+    val sink = Option(root.get("sink")).map { s =>
+      SinkSpec(
+        table = strOpt(s, "table").getOrElse("events_routed"),
+        numBuckets = int(s, "numBuckets", 32),
+        bucketKeys = Option(strs(s, "bucketKeys")).filter(_.nonEmpty)
+          .getOrElse(Seq("conv_id")),
+        aggBucket = strOpt(s, "aggBucket"))
+    }
+    Spec(stages, router, multicast, sink)
   }
 }

@@ -81,18 +81,103 @@ class PipelineConfigSpec extends AnyFunSuite {
       "base64_encode" -> """{"type":"base64_encode","sourceKey":"text","destKey":"b64"}""",
       "base64_decode" -> """{"type":"base64_decode","sourceKey":"b64e","destKey":"plain"}""",
       "md5" -> """{"type":"md5","sourceKey":"text","destKey":"h"}""",
-      "pack_json" -> """{"type":"pack_json","sourceKeys":["role","tool"],"destKey":"p"}""")
+      "pack_json" -> """{"type":"pack_json","sourceKeys":["role","tool"],"destKey":"p"}""",
+      "parse_apsara" -> """{"type":"parse_apsara","sourceKey":"text"}""",
+      "grok_custom" -> """{"type":"grok_custom","sourceKey":"text","match":["%{MYNUM:n}"],"customPatterns":{"MYNUM":"\\d+"}}""",
+      "json_expand" -> """{"type":"json_expand","sourceKey":"text","depth":2}""",
+      "split_explode" -> """{"type":"split_explode","sourceKey":"text","separator":"|||"}""",
+      "multiline" -> """{"type":"multiline","startPattern":"^zzz-never"}""",
+      "filter_key_regex" -> """{"type":"filter_key_regex","mapCol":"kvmap","include":["a"]}""",
+      "filter_expression" -> """{"type":"filter_expression","expr":{"key":"role","regex":".*"}}""",
+      "fields_with_condition" -> """{"type":"fields_with_condition","cases":[{"when":[{"key":"role","op":"equals","value":"user"}],"fields":{"kind":"human"}}]}""",
+      "rate_limit" -> """{"type":"rate_limit","fields":["conv_id","turn_idx"],"limit":1}""",
+      "appender" -> """{"type":"appender","key":"text","value":"|z"}""",
+      "anchor" -> """{"type":"anchor","sourceKey":"text","start":"[","stop":"]","destKey":"mid"}""",
+      "gotime" -> """{"type":"gotime","sourceKey":"ts","destKey":"tfmt","format":"yyyy/MM/dd"}""",
+      "encrypt" -> """{"type":"encrypt","sourceKey":"text","keyHex":"00112233445566778899aabbccddeeff","ivHex":"000102030405060708090a0b0c0d0e0f"}""",
+      "drop_last_key" -> """{"type":"drop_last_key","dropKey":"text","includeKeys":["role"]}""",
+      "log_to_metric" -> """{"type":"log_to_metric","labelKeys":["role"],"valueKeys":["turn_idx"]}""",
+      "shardhash" -> """{"type":"shardhash","keys":["conv_id"],"buckets":16}""",
+      "content_value_group" -> """{"type":"content_value_group","keys":["role","tool"]}""")
     assert(minimal.keySet == PipelineConfig.registry.keySet,
       s"test must cover every registry type; missing: " +
         (PipelineConfig.registry.keySet -- minimal.keySet))
     val base = Transcripts.generate(spark, 10)
       .withColumn("tstr", org.apache.spark.sql.functions.lit("2024-01-02"))
       .withColumn("b64e", org.apache.spark.sql.functions.lit("aGk="))
+      .withColumn("kvmap", org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("a"),
+        org.apache.spark.sql.functions.lit("b")))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)
       assert(out.count() == n, s"type $t lost rows")
     }
+  }
+
+  test("config-first e2e: YAML sink section reproduces the hardwired pipeline's aggregates") {
+    import graft.ops.AggOps
+    import graft.pipeline.TranscriptPipeline
+    import graft.sink.TableIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg").toString
+    val input = Transcripts.generate(spark, 120, seed = 5)
+    val yaml =
+      """processors:
+        |  - type: dict_map
+        |    sourceKey: role
+        |    destKey: role_class
+        |    dict: {user: human, assistant: model, system: control}
+        |    missing: other
+        |  - type: dict_map
+        |    sourceKey: tool
+        |    destKey: tool_family
+        |    dict: {search: retrieval, browser: retrieval, bash: exec,
+        |           python: exec, sql: exec, editor: authoring, none: n/a}
+        |    missing: misc
+        |router:
+        |  sourceKey: role
+        |  rules:
+        |    - {regex: assistant, sink: sink_llm}
+        |    - {regex: tool|system, sink: sink_infra}
+        |    - {regex: t.*, sink: sink_never}
+        |  default: sink_user
+        |sink:
+        |  table: events_routed
+        |  numBuckets: 8
+        |  bucketKeys: [conv_id]
+        |  aggBucket: hour
+        |""".stripMargin
+    val written = PipelineConfig.parse(yaml).run(input, TableIO(dir), "cfg-run")
+    assert(written > 0)
+    // aggregate-count equality vs the hardwired pipeline (north rule)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = Seq("__sink__", "tool", "bucket", "n_events", "n_convs")
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.map(c => String.valueOf(r.getAs[Any](c))).mkString("|"))
+        .sorted.toSeq
+    }
+    val got = spark.read.parquet(s"$dir/sink_aggregates")
+    val expect = AggOps.sinkAggregates(TranscriptPipeline(input), bucket = "hour")
+    assert(rows(got) == rows(expect))
+    // routed-row equality: every input row landed exactly once
+    assert(spark.read.parquet(s"$dir/events_routed").count() == input.count())
+  }
+
+  test("yaml multicast section: every matching condition receives a copy") {
+    val yaml =
+      """multicast:
+        |  conditions:
+        |    - {sink: all_tool, key: role, regex: tool}
+        |    - {sink: all_user, key: role, regex: user|assistant}
+        |""".stripMargin
+    val input = Transcripts.generate(spark, 30, seed = 3)
+    val out = PipelineConfig.parse(yaml)(input)
+    val bySink = out.groupBy("__sink__").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val roles = input.groupBy("role").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySink("all_tool") == roles("tool"))
+    assert(bySink("all_user") == roles("user") + roles("assistant"))
   }
 
   test("configured parser failure semantics flow through (keepSource default)") {
