@@ -132,7 +132,8 @@ object PipelineConfig {
       ParseOps.JsonExpand(str(n, "sourceKey"), depth = int(n, "depth", 2),
         connector = strOpt(n, "connector").getOrElse("_"),
         prefix = strOpt(n, "prefix").getOrElse(""),
-        destKey = strOpt(n, "destKey").getOrElse("expanded")).apply _
+        destKey = strOpt(n, "destKey").getOrElse("expanded"),
+        expandArray = bool(n, "expandArray", false)).apply _
     },
     "split_explode" -> { n =>
       ParseOps.SplitExplode(str(n, "sourceKey"), str(n, "separator"),
@@ -185,7 +186,10 @@ object PipelineConfig {
     },
     "anchor" -> { n =>
       FieldOps.Anchor(str(n, "sourceKey"), str(n, "start"), str(n, "stop"),
-        str(n, "destKey")).apply _
+        str(n, "destKey"),
+        fieldType = strOpt(n, "fieldType").getOrElse("string"),
+        connector = strOpt(n, "connector").getOrElse("_"),
+        expandDepth = int(n, "expandDepth", 2)).apply _
     },
     "gotime" -> { n =>
       FieldOps.TimeReformat(str(n, "sourceKey"), str(n, "destKey"),

@@ -160,11 +160,36 @@ object FieldOps {
           lit("CBC"), lit("PKCS"), unhex(lit(ivHex)), lit("".getBytes))))
   }
 
-  /** Append a constant to an existing key.
-    * Reference: `plugins/processor/appender/processor_appender.go:31-42`. */
-  final case class Appender(key: String, value: String, sortLabels: Boolean = false) {
+  /** Append a constant to an existing key, with `{{...}}` template
+    * expansion at PLAN time (reference expands at Init,
+    * `processor_appender.go:49-63,117-134`): `{{$NAME}}` → environment
+    * variable, `{{__ip__}}`/`{{__host__}}` → local address/hostname,
+    * anything else → the key text itself (platform-meta keys are
+    * cloud-agent-specific — out of scope here, same fallback the
+    * reference uses with no meta manager). `env` is injectable so tests
+    * don't depend on the process environment. */
+  final case class Appender(key: String, value: String,
+      sortLabels: Boolean = false,
+      env: String => Option[String] = sys.env.get) {
+    private val expanded: String =
+      "\\{\\{[^}]+\\}\\}".r.replaceAllIn(value, m => {
+        val inner = m.matched.drop(2).dropRight(2)
+        val res =
+          if (inner.startsWith("$")) env(inner.drop(1)).getOrElse("")
+          else inner match {
+            case "__ip__" =>
+              try java.net.InetAddress.getLocalHost.getHostAddress
+              catch { case _: Exception => "" }
+            case "__host__" =>
+              try java.net.InetAddress.getLocalHost.getHostName
+              catch { case _: Exception => "" }
+            case other => other
+          }
+        java.util.regex.Matcher.quoteReplacement(res)
+      })
+
     def apply(df: DataFrame): DataFrame = {
-      val appended = concat(coalesce(col(key), lit("")), lit(value))
+      val appended = concat(coalesce(col(key), lit("")), lit(expanded))
       val out =
         if (sortLabels) array_join(array_sort(split(appended, "\\|")), "|")
         else appended
@@ -179,18 +204,31 @@ object FieldOps {
       df.withColumn(destKey, to_json(struct(sourceKeys.map(col): _*)))
   }
 
-  /** Substring extraction between start/stop anchors.
-    * Reference: `plugins/processor/anchor/anchor.go:46-71`. Composed from
-    * `locate`+`substring`-equivalent regex (codegen'd). */
+  /** Substring extraction between start/stop anchors. `fieldType =
+    * "json"` additionally JSON-expands the anchored substring into a
+    * `map<string,string>` column of `destKey{connector}subkey` entries
+    * (flattened to `expandDepth`), the reference's `FieldType: json` +
+    * `ExpondJSON` mode.
+    * Reference: `plugins/processor/anchor/anchor.go:46-98,180-193`. */
   final case class Anchor(
       sourceKey: String,
       start: String,
       stop: String,
-      destKey: String) {
+      destKey: String,
+      fieldType: String = "string",
+      connector: String = "_",
+      expandDepth: Int = 2) {
     def apply(df: DataFrame): DataFrame = {
       val rx = java.util.regex.Pattern.quote(start) + "(.*?)" +
         java.util.regex.Pattern.quote(stop)
-      df.withColumn(destKey, regexp_extract(col(sourceKey), rx, 1))
+      val extracted = regexp_extract(col(sourceKey), rx, 1)
+      fieldType match {
+        case "json" =>
+          df.withColumn(destKey, graft.ops.ParseOps.flattenJson(extracted,
+            expandDepth, connector, prefix = destKey + connector,
+            expandArray = false))
+        case _ => df.withColumn(destKey, extracted)
+      }
     }
   }
 

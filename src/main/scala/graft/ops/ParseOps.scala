@@ -313,44 +313,69 @@ object ParseOps {
     }
   }
 
-  /** Schema-free nested-JSON flatten into a `map<string,string>` column:
-    * keys of nested objects become `a_b_c`-style flattened keys up to
-    * `depth` levels, joined by `connector`; scalars stringify.
-    * Reference: `plugins/processor/json/processor_json.go:29-42`
-    * (`ExpandDepth`, `ExpandConnector`, `Prefix`).
+  /** Schema-free nested-JSON flatten of a JSON-object string into
+    * `map<string,string>` entries: keys of nested objects become
+    * `a_b_c`-style flattened keys up to `depth` levels, joined by
+    * `connector`; array elements (when `expandArray`) become `k[0]`,
+    * `k[1]`, … index-suffixed keys (reference `flattenArray`,
+    * `processor_json.go:171-191`); scalars stringify.
     *
     * Pure higher-order-function rewrite: each pass explodes map entries
-    * whose value is itself a JSON object into prefixed child entries —
-    * no UDFs, no shuffles, bounded by `depth` passes.
+    * whose value is itself a JSON object/array into child entries — no
+    * UDFs, no shuffles, bounded by `depth` passes.
     */
+  def flattenJson(src: Column, depth: Int, connector: String,
+      prefix: String, expandArray: Boolean): Column = {
+    val mapType = "map<string,string>"
+    val none = Map.empty[String, String]
+    def isObj(v: Column): Column = v.startsWith("{")
+    def isArr(v: Column): Column = v.startsWith("[")
+    // one flatten pass over an array<struct<key,value>> entry list
+    def pass(entries: Column): Column = flatten(transform(entries, e => {
+      val v = e.getField("value")
+      val sub = from_json(v, mapType, none)
+      val subArr = from_json(v, "array<string>", none)
+      val objCase = when(isObj(v) && sub.isNotNull,
+        transform(map_entries(sub), s => struct(
+          concat(e.getField("key"), lit(connector), s.getField("key")).as("key"),
+          s.getField("value").as("value"))))
+      (if (expandArray)
+        objCase.when(isArr(v) && subArr.isNotNull,
+          // empty arrays disappear entirely (reference flattenArray:
+          // ArrayEach over [] appends nothing, processor_json_test.go
+          // asserts k7:[] is gone) — and guard the sequence() range,
+          // which would go descending for size 0
+          when(size(subArr) > 0,
+            zip_with(subArr, sequence(lit(0), size(subArr) - 1), (el, i) =>
+              struct(concat(e.getField("key"), lit("["), i.cast("string"),
+                lit("]")).as("key"), el.as("value"))))
+          .otherwise(array().cast("array<struct<key:string,value:string>>")))
+      else objCase)
+        .otherwise(array(e))
+    }))
+    val base = map_entries(from_json(src, mapType, none))
+    val flattened = (1 until depth).foldLeft(base)((acc, _) => pass(acc))
+    val prefixed =
+      if (prefix.isEmpty) flattened
+      else transform(flattened, e => struct(
+        concat(lit(prefix), e.getField("key")).as("key"),
+        e.getField("value").as("value")))
+    map_from_entries(prefixed)
+  }
+
+  /** Nested-JSON flatten processor over one field.
+    * Reference: `plugins/processor/json/processor_json.go:29-42`
+    * (`ExpandDepth`, `ExpandConnector`, `Prefix`, `ExpandArray`). */
   final case class JsonExpand(
       sourceKey: String,
       depth: Int = 2,
       connector: String = "_",
       prefix: String = "",
-      destKey: String = "expanded") {
-    def apply(df: DataFrame): DataFrame = {
-      val mapType = "map<string,string>"
-      def isObj(v: Column): Column = v.startsWith("{")
-      // one flatten pass over an array<struct<key,value>> entry list
-      def pass(entries: Column): Column = flatten(transform(entries, e => {
-        val sub = from_json(e.getField("value"), mapType, Map.empty[String, String])
-        when(isObj(e.getField("value")) && sub.isNotNull,
-          transform(map_entries(sub), s => struct(
-            concat(e.getField("key"), lit(connector), s.getField("key")).as("key"),
-            s.getField("value").as("value"))))
-          .otherwise(array(e))
-      }))
-      val base = map_entries(from_json(col(sourceKey), mapType,
-        Map.empty[String, String]))
-      val flattened = (1 until depth).foldLeft(base)((acc, _) => pass(acc))
-      val prefixed =
-        if (prefix.isEmpty) flattened
-        else transform(flattened, e => struct(
-          concat(lit(prefix), e.getField("key")).as("key"),
-          e.getField("value").as("value")))
-      df.withColumn(destKey, map_from_entries(prefixed))
-    }
+      destKey: String = "expanded",
+      expandArray: Boolean = false) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey,
+        flattenJson(col(sourceKey), depth, connector, prefix, expandArray))
   }
 
   /** 1→N row split: explode `sourceKey` on a separator (one event per

@@ -106,6 +106,18 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     assert(collectMaps(none).head("text") == "pwd=secret1 other pwd=secret2")
   }
 
+  test("appender: {{$env}} / {{__host__}} templates expand at plan time") {
+    val s = spark; import s.implicits._
+    val df = Seq("base").toDF("labels")
+    val fakeEnv = Map("REGION" -> "eu-1").get _
+    val out = FieldOps.Appender("labels", "|region={{$REGION}}|x={{$MISSING}}|k={{custom}}",
+      env = fakeEnv)(df)
+    assert(collectMaps(out).head("labels") == "base|region=eu-1|x=|k=custom")
+    val host = FieldOps.Appender("labels", "|h={{__host__}}", env = fakeEnv)(df)
+    val got = collectMaps(host).head("labels").asInstanceOf[String]
+    assert(got.startsWith("base|h=") && got.length > "base|h=".length)
+  }
+
   test("filter_key_regex: every include must match some key; any exclude match drops") {
     val s = spark; import s.implicits._
     // vectors per the reference's own test (filter_key_regex_test.go

@@ -1,4 +1,5 @@
 package graft.ops
+// (vector fixtures below cite the reference's own unit tests)
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
@@ -178,5 +179,42 @@ class ParseOpsSpec extends AnyFunSuite {
     assert(dm("b_d_e") == "3")
     // non-json rows: expanded is null, row preserved
     assert(maps.exists(m => m("text") == "not json" && m("expanded") == null))
+  }
+
+  test("json expand ExpandArray: reference vector (k[i] keys, object elements recurse, [] vanishes)") {
+    // jsonVal + expectations from processor_json_test.go:50,204-224
+    // (connector '-', prefix 'js_key-', unlimited depth -> depth 6 here)
+    val jsonVal =
+      """{"k1":{"k2":{"k3":{"k4":{"k51":"51","k52":"52"},"k41":"41"}}},"k6":[{"x":"a"},{"x":"b"}],"k7":[]}"""
+    val out = ParseOps.JsonExpand("text", depth = 6, connector = "-",
+      prefix = "js_key-", expandArray = true)(textDf(jsonVal))
+    val m = collectMaps(out).head("expanded").asInstanceOf[Map[String, String]]
+    assert(m == Map(
+      "js_key-k1-k2-k3-k4-k51" -> "51",
+      "js_key-k1-k2-k3-k4-k52" -> "52",
+      "js_key-k1-k2-k3-k41" -> "41",
+      "js_key-k6[0]-x" -> "a",
+      "js_key-k6[1]-x" -> "b"))
+    // expandArray=false keeps arrays as raw JSON text (default)
+    val keep = ParseOps.JsonExpand("text", depth = 6, connector = "-")(
+      textDf("""{"k6":[1,2]}"""))
+    val km = collectMaps(keep).head("expanded").asInstanceOf[Map[String, String]]
+    assert(km("k6").replaceAll("\\s", "") == "[1,2]")
+  }
+
+  test("anchor FieldType json: anchored substring expands into prefixed map keys") {
+    // anchor.go:50,180-193 — JSON between anchors expands with
+    // FieldName + connector prefixes
+    val line = """ts=1 payload={"code":"7","detail":{"msg":"hi"}} tail"""
+    // depth 1 = top-level keys only, nested object stays raw JSON text
+    val out = FieldOps.Anchor("text", "payload=", " tail", "pl",
+      fieldType = "json", expandDepth = 1)(textDf(line))
+    val m = collectMaps(out).head("pl").asInstanceOf[Map[String, String]]
+    assert(m("pl_code") == "7")
+    assert(m("pl_detail").replaceAll("\\s", "") == """{"msg":"hi"}""")
+    val deep = FieldOps.Anchor("text", "payload=", " tail", "pl",
+      fieldType = "json", expandDepth = 2)(textDf(line))
+    val dm = collectMaps(deep).head("pl").asInstanceOf[Map[String, String]]
+    assert(dm("pl_detail_msg") == "hi")
   }
 }
