@@ -27,6 +27,8 @@ object Grok {
     "INT" -> "(?:[+-]?(?:[0-9]+))",
     "BASE10NUM" -> "(?:[+-]?(?:[0-9]+(?:\\.[0-9]+)?)|\\.[0-9]+)",
     "NUMBER" -> "(?:%{BASE10NUM})",
+    "BASE16NUM" -> "(?<![0-9A-Fa-f])(?:[+-]?(?:0x)?(?:[0-9A-Fa-f]+))",
+    "BASE16FLOAT" -> "\\b(?<![0-9A-Fa-f.])(?:[+-]?(?:0x)?(?:(?:[0-9A-Fa-f]+(?:\\.[0-9A-Fa-f]*)?)|(?:\\.[0-9A-Fa-f]+)))\\b",
     "POSINT" -> "\\b(?:[1-9][0-9]*)\\b",
     "NONNEGINT" -> "\\b(?:[0-9]+)\\b",
     "WORD" -> "\\b\\w+\\b",
@@ -72,7 +74,9 @@ object Grok {
     "COMBINEDAPACHELOG" -> "%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}"
   )
 
-  private val ref = "%\\{(\\w+)(?::([\\w.\\[\\]]+))?(?::(\\w+))?\\}".r
+  // alias names allow '-' (the Go dialect accepts e.g. english-word,
+  // processor_grok_test.go:157)
+  private val ref = "%\\{(\\w+)(?::([\\w.\\[\\]-]+))?(?::(\\w+))?\\}".r
 
   /** Make every capturing group in a dictionary body non-capturing.
     * Handles escaped parens and character classes. */
@@ -102,13 +106,35 @@ object Grok {
   }
 
   /** Like [[compile]] but preserves the optional type-cast suffix of
-    * each alias (`%{POSINT:pid:int}` → ("pid", Some("int"))).
-    * Reference: `plugins/processor/grok/processor_grok.go:49` (alias
-    * types int/long/float/double/bool; untyped = string). */
+    * each alias (`%{POSINT:pid:int}` → ("pid", Some("int"))). */
   def compileTyped(pattern: String, custom: Map[String, String] = Map.empty)
       : (String, Seq[(String, Option[String])]) = {
+    val (rx, idx) = compileIndexed(pattern, custom)
+    (rx, idx.map { case (a, t, _) => (a, t) })
+  }
+
+  /** Full compilation: (javaRegex, (alias, castType, captureGroupIdx)).
+    *
+    * Beyond `%{NAME:alias}` refs this supports the Go grok dialect's
+    * inline named groups — `(?P<name>…)` (Go/regexp2 spelling) and
+    * `(?<name>…)` — which become extracted fields at their real group
+    * position (`processor_grok_test.go:174`: grok refs and regex named
+    * groups mix in one Match line). Unnamed user capture groups keep
+    * their index but produce no field, like the reference, which only
+    * surfaces named groups. All name syntax is stripped from the final
+    * regex (fields extract by INDEX via `regexp_extract`), so names
+    * never need to be Java-legal.
+    * Reference: `plugins/processor/grok/processor_grok.go:48-65`
+    * (compile-at-Init; alias types int/long/float/double/bool). */
+  def compileIndexed(pattern: String, custom: Map[String, String] = Map.empty)
+      : (String, Seq[(String, Option[String], Int)]) = {
     val dict = defaultPatterns ++ custom
-    val aliases = mutable.ArrayBuffer.empty[(String, Option[String])]
+    // normalize Go named-group spelling; pick a marker prefix that
+    // cannot collide with a user-written group name
+    val pre = pattern.replace("(?P<", "(?<")
+    var pfx = "gk"
+    while (pre.contains("?<" + pfx)) pfx += "z"
+    val markers = mutable.Map.empty[String, (String, Option[String])]
 
     def expand(p: String, depth: Int): String = {
       require(depth < 50, s"grok recursion too deep in: $pattern")
@@ -118,18 +144,54 @@ object Grok {
         val castType = Option(m.group(3))
         val body = dict.getOrElse(name,
           throw new IllegalArgumentException(s"unknown grok pattern %{$name}"))
-        // Record the outer alias BEFORE expanding the body: its capture
-        // group opens before any nested aliased group.
         val g = alias match {
           case Some(a) =>
-            aliases += (a -> castType)
-            s"(${expand(decapture(body), depth + 1)})"
+            val mk = pfx + markers.size
+            markers(mk) = (a, castType)
+            s"(?<$mk>${expand(decapture(body), depth + 1)})"
           case None => s"(?:${expand(decapture(body), depth + 1)})"
         }
         java.util.regex.Matcher.quoteReplacement(g)
       })
     }
-    val rx = expand(pattern, 0)
-    (rx, aliases.toSeq)
+    val expanded = expand(pre, 0)
+
+    // Final scan: number every capturing group left-to-right, resolve
+    // marker/user named groups to field entries, strip name syntax.
+    val out = new StringBuilder
+    val fields = mutable.ArrayBuffer.empty[(String, Option[String], Int)]
+    var i = 0
+    var inClass = false
+    var groupIdx = 0
+    while (i < expanded.length) {
+      val c = expanded.charAt(i)
+      if (c == '\\' && i + 1 < expanded.length) {
+        out.append(c).append(expanded.charAt(i + 1)); i += 2
+      } else {
+        if (c == '[' && !inClass) inClass = true
+        else if (c == ']' && inClass) inClass = false
+        if (c == '(' && !inClass) {
+          val isNamed = i + 2 < expanded.length &&
+            expanded.charAt(i + 1) == '?' && expanded.charAt(i + 2) == '<' &&
+            i + 3 < expanded.length &&
+            expanded.charAt(i + 3) != '=' && expanded.charAt(i + 3) != '!'
+          if (isNamed) {
+            val close = expanded.indexOf('>', i + 3)
+            require(close > 0, s"unterminated group name in: $expanded")
+            val name = expanded.substring(i + 3, close)
+            groupIdx += 1
+            fields += markers.get(name)
+              .map { case (a, t) => (a, t, groupIdx) }
+              .getOrElse((name, None, groupIdx))
+            out.append('(')
+            i = close + 1
+          } else if (i + 1 >= expanded.length || expanded.charAt(i + 1) != '?') {
+            groupIdx += 1 // unnamed capturing group: indexed, no field
+            out.append(c); i += 1
+          } else { out.append(c); i += 1 }
+        } else { out.append(c); i += 1 }
+      }
+    }
+    (out.toString, fields.toSeq)
   }
 }

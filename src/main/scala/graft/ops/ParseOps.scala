@@ -276,8 +276,8 @@ object ParseOps {
       customPatterns: Map[String, String] = Map.empty,
       opts: ParserOptions = ParserOptions()) {
 
-    private val compiled: Seq[(String, Seq[(String, Option[String])])] =
-      matchPatterns.map(p => Grok.compileTyped(p, customPatterns))
+    private val compiled: Seq[(String, Seq[(String, Option[String], Int)])] =
+      matchPatterns.map(p => Grok.compileIndexed(p, customPatterns))
 
     /** Alias type-cast suffix → Spark type (`processor_grok.go:49`).
       * try_cast: an unparseable value nulls instead of failing the job
@@ -302,9 +302,9 @@ object ParseOps {
           .mapValues(_.flatMap(_._2).headOption).toMap
       val fields = allKeys.map { k =>
         val alternatives = compiled.flatMap { case (rx, keys) =>
-          val gi = keys.indexWhere(_._1 == k)
-          if (gi < 0) None
-          else Some(when(src.rlike(rx), regexp_extract(src, rx, gi + 1)))
+          keys.find(_._1 == k).map { case (_, _, idx) =>
+            when(src.rlike(rx), regexp_extract(src, rx, idx))
+          }
         }
         val raw = coalesce(alternatives: _*)
         k -> keyType(k).map(t => castTo(raw, t)).getOrElse(raw)

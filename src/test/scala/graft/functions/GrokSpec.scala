@@ -57,6 +57,82 @@ class GrokSpec extends AnyFunSuite {
     }
   }
 
+  test("reference vectors: WORD/NUMBER basic parse incl. trailing newline + empty (processor_grok_test.go:120-155)") {
+    import graft.SparkTestSession._
+    import graft.ops.ParseOps
+    val g = ParseOps.GrokParser("text",
+      Seq("%{WORD:word1} %{NUMBER:request_time} %{WORD:word2}"))
+    val out = collectMaps(g(textDf("begin 123.456 end", "", "begin 123.456 end\n")))
+    val ok = out.filter(_("word1") != null)
+    assert(ok.size == 2) // search semantics: trailing \n still matches
+    assert(ok.forall(m => m("word1") == "begin" &&
+      m("request_time") == "123.456" && m("word2") == "end"))
+    assert(out.exists(m => m("word1") == null)) // empty line fails
+  }
+
+  test("reference vectors: unicode data + hyphenated alias (processor_grok_test.go:156-170)") {
+    import graft.SparkTestSession._
+    import graft.ops.ParseOps
+    val g = ParseOps.GrokParser("text",
+      Seq("%{WORD:english-word} %{GREEDYDATA:message}"))
+    val m = collectMaps(g(textDf("hello こんにちは"))).head
+    assert(m("english-word") == "hello" && m("message") == "こんにちは")
+  }
+
+  test("reference vectors: grok refs mixed with an inline (?P<name>) regex group (processor_grok_test.go:172-190)") {
+    import graft.SparkTestSession._
+    import graft.ops.ParseOps
+    val g = ParseOps.GrokParser("text",
+      Seq("%{WORD:english-word} %{GREEDYDATA:message} (?P<message2>.*)"))
+    val m = collectMaps(g(textDf("hello こんにちは 你好"))).head
+    assert(m("english-word") == "hello")
+    assert(m("message") == "こんにちは")
+    assert(m("message2") == "你好")
+  }
+
+  test("reference vectors: multiline thread-dump pattern with (?ms) flags (processor_grok_test.go:192-219)") {
+    import graft.SparkTestSession._
+    import graft.ops.ParseOps
+    val record =
+      "[2023-02-09T00:24:43.922554223+08:00] 1 \"BLOCKED_TEST pool-1-thread-2\" prio=6 tid=0x0000000007673800 nid=0x260c waiting for monitor entry [0x0000000008abf000]\n" +
+      "java.lang.Thread.State: BLOCKED (on object monitor)\n" +
+      "\t at com.nbp.theplatform.threaddump.ThreadBlockedState.monitorLock(ThreadBlockedState.java:43)"
+    val pat = "\\[%{TIMESTAMP_ISO8601:time_local}\\] %{NUMBER:pid} %{QUOTEDSTRING:thread} prio=%{NUMBER:prio} tid=%{BASE16NUM:tid} nid=%{BASE16NUM:nid} %{DATA:func} \\[%{BASE16NUM:addr}\\]%{SPACE}(?s)%{GREEDYDATA:stack}"
+    val m = collectMaps(ParseOps.GrokParser("text", Seq(pat))(textDf(record))).head
+    assert(m("time_local") == "2023-02-09T00:24:43.922554223+08:00")
+    assert(m("pid") == "1")
+    assert(m("thread") == "\"BLOCKED_TEST pool-1-thread-2\"")
+    assert(m("prio") == "6" && m("tid") == "0x0000000007673800")
+    assert(m("nid") == "0x260c" && m("func") == "waiting for monitor entry")
+    assert(m("addr") == "0x0000000008abf000")
+    assert(m("stack").asInstanceOf[String].startsWith("java.lang.Thread.State: BLOCKED"))
+  }
+
+  test("reference vectors: multi-pattern first-match-wins with custom %{HTTP} (processor_grok_test.go:222-286)") {
+    import graft.SparkTestSession._
+    import graft.ops.ParseOps
+    val g = ParseOps.GrokParser("text",
+      Seq("%{HTTP}",
+        "%{WORD:word1} %{NUMBER:request_time} %{WORD:word2}",
+        "%{YEAR:year} %{MONTH:month} %{MONTHDAY:day} %{QUOTEDSTRING:motto}"),
+      customPatterns = Map("HTTP" ->
+        "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes} %{NUMBER:duration}"))
+    val out = collectMaps(g(textDf(
+      "begin 123.456 end",
+      "2019 June 24 \"I am iron man\"",
+      "WRONG LOG",
+      "10.0.0.0 GET /index.html 15824 0.043")))
+    val m1 = out.find(_("word1") != null).get
+    assert(m1("request_time") == "123.456")
+    val m2 = out.find(_("year") != null).get
+    assert(m2("month") == "June" && m2("day") == "24" &&
+      m2("motto") == "\"I am iron man\"")
+    val m4 = out.find(_("client") != null).get
+    assert(m4("method") == "GET" && m4("request") == "/index.html" &&
+      m4("bytes") == "15824" && m4("duration") == "0.043")
+    assert(out.exists(m => m("text") == "WRONG LOG")) // kept on fail
+  }
+
   test("typed aliases: %{P:alias:type} yields cast columns") {
     import graft.SparkTestSession._
     import graft.ops.ParseOps

@@ -55,6 +55,19 @@ class ParseOpsSpec extends AnyFunSuite {
     assert(mr("rawText") == "garbage" && mr("text") == null)
   }
 
+  test("regex parse: reference tab vector with keep-both + raw-log options") {
+    // ProcessorParseRegexNativeUnittest.cpp:157-231 — (\w+)\t(\w+).* on
+    // "value1\tvalue2", KeepingSourceWhenParseSucceed + CopingRawLog
+    val out = ParseOps.RegexParser("text", "(\\w+)\\t(\\w+).*",
+      Seq("key1", "key2"),
+      ParserOptions(keepingSourceWhenParseSucceed = true, copingRawLog = true))(
+      textDf("value1\tvalue2"))
+    val m = collectMaps(out).head
+    assert(m("key1") == "value1" && m("key2") == "value2")
+    assert(m("text") == "value1\tvalue2") // source kept on success
+    assert(m("__raw_log__") == null)      // raw log only on failure
+  }
+
   test("regex parse: keepingSourceWhenParseSucceed keeps source") {
     val out = ParseOps.RegexParser("text", rx, keys,
       ParserOptions(keepingSourceWhenParseSucceed = true))(textDf(nginxLine))
