@@ -86,8 +86,10 @@ object Bench {
     val eff = (rate(16) / rate(4)) / (16.0 / 4.0)
 
     // -- phase 2: per-query sweep at local[32] over the driver SF dir ------
+    // (verified queries + bench-only fast-hash production tiers)
     val s32 = session(32)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryTimes = (SparkEntry.queries ++ SparkEntry.benchQueries)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = timed {
         try { fn(s32, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }

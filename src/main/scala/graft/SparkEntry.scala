@@ -428,6 +428,27 @@ object SparkEntry {
     }
   )
 
+  /** Bench-only entries — NOT part of the driver's oracle contract.
+    * The production fast-hash (xxhash) tiers of the sketch operators:
+    * every `queries` sketch pins the portable-md5 tier (cross-engine
+    * verifiable), which pays an md5-per-shingle cost the 100 TB path
+    * does not; these measure the tier a real deployment runs.
+    * Correctness of the fast tier is pinned by an internal A/B spec
+    * (same pair sets as the md5 tier on a dup/distinct corpus —
+    * DatasetOpsSpec "fast hash tier"). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_fast" -> ((s, dir) =>
+      DedupOps.MinHashLSH(numHashes = 16, bands = 4, shingleSize = 3,
+        threshold = 0.5, portable = false).pairs(tbl(s, dir, "documents"))),
+    "dedup_simhash_fast" -> ((s, dir) =>
+      DedupOps.SimHash(bits = 32, portable = false)(tbl(s, dir, "documents"))),
+    "simhash_pairs_fast" -> ((s, dir) =>
+      DedupOps.SimHash(bits = 32, portable = false)
+        .pairs(tbl(s, dir, "documents"), maxDist = 3)),
+    "dedup_jaccard_capped" -> ((s, dir) => // hot-shingle cap variant
+      DedupOps.NgramJaccard(shingleSize = 3, threshold = 0.2,
+        maxShingleFreq = 100).pairs(tbl(s, dir, "documents"))))
+
   def oracleSql: Map[String, String] = {
     import TranscriptView.withCte
     val nginxRx = """^(\S+) - (\S+) \[([^\]]+)\] "(\w+) (\S+) ([^"]+)" ([0-9]+) ([0-9]+) "([^"]*)" "([^"]*)"$"""

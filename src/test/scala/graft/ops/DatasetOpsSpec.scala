@@ -251,6 +251,28 @@ class DatasetOpsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("fast hash tier: same dup/non-dup pair decisions as the portable md5 tier") {
+    // exact dups + clearly-disjoint docs: both hash families must agree
+    // on the PAIR SET (estimates may differ on borderline docs, so the
+    // corpus keeps similarity far from the threshold)
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine",
+      4L -> "one two three four five six seven eight nine",
+      5L -> "completely unrelated corpus text goes right here")
+    def pairSet(portable: Boolean) =
+      DedupOps.MinHashLSH(16, 4, 3, 0.9, portable = portable).pairs(d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(portable = true) == Set((1L, 2L), (3L, 4L)))
+    assert(pairSet(portable = false) == pairSet(portable = true))
+    def simPairs(portable: Boolean) =
+      DedupOps.SimHash(32, portable = portable).pairs(d, maxDist = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simPairs(portable = true) == Set((1L, 2L), (3L, 4L)))
+    assert(simPairs(portable = false) == simPairs(portable = true))
+  }
+
   test("dedup sketches run UDF-free (no ScalaUDF in the plan)") {
     val d = docs(1L -> "a b c d e f")
     val plans = Seq(

@@ -147,6 +147,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(keptTool.intersect(Set("k3", "k4")) == Set("k3", "k4"))
   }
 
+  test("token bucket: kill + restart from checkpoint restores state; replay order-independent") {
+    // at-least-once parity (reference CheckPointManager.h:40-52): a
+    // restarted job must make the SAME keep/drop decisions.
+    val srcDir = Files.createTempDirectory("graft-tb-src").toString
+    val ckpt = Files.createTempDirectory("graft-tb-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-tb-out").toString
+    val schema = Seq.empty[Turn].toDF().schema
+    def startQuery() = TokenBucketRateLimit(
+        spark.readStream.schema(schema).parquet(srcDir),
+        Seq("conv_id"), limit = 1, periodSeconds = 3600,
+        tieBreak = Seq("turn_idx"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+    def keptSoFar(): Set[String] =
+      spark.read.parquet(outDir).select("text").collect()
+        .map(_.getString(0)).toSet
+    // batch 1: two A events -> only the first has a token
+    Seq(Turn("A", 0, "user", "a0", "none", ts(0)),
+      Turn("A", 1, "user", "a1", "none", ts(1))).toDF()
+      .write.mode("append").parquet(srcDir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    assert(keptSoFar() == Set("a0"))
+    // kill + restart: batch 2 arrives 10 s later — the restored bucket
+    // is still empty, so a2 MUST be dropped (lost state would keep it)
+    Seq(Turn("A", 2, "user", "a2", "none", ts(10))).toDF()
+      .write.mode("append").parquet(srcDir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    assert(keptSoFar() == Set("a0"))
+    // replay determinism: identical batch in shuffled row order yields
+    // the identical keep set (per-key (ts, tieBreak) ordering)
+    val rows = Seq(
+      Turn("K", 3, "user", "k3", "none", ts(3)),
+      Turn("K", 0, "user", "k0", "none", ts(0)),
+      Turn("K", 2, "user", "k2", "none", ts(0)),
+      Turn("K", 1, "user", "k1", "none", ts(1)))
+    def keptOf(input: Seq[Turn]) =
+      TokenBucketRateLimit(input.toDF(), Seq("conv_id"), limit = 2,
+        periodSeconds = 3600, tieBreak = Seq("turn_idx"))
+        .select("text").collect().map(_.getString(0)).toSet
+    assert(keptOf(rows) == keptOf(rows.reverse))
+    assert(keptOf(rows) == Set("k0", "k2")) // ts then turn_idx order
+  }
+
   test("token bucket in a real stream: state persists across micro-batches") {
     val mem = MemoryStream[Turn](spark)
     val limited = TokenBucketRateLimit(mem.toDF(), Seq("conv_id"),
