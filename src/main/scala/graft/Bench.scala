@@ -70,15 +70,20 @@ object Bench {
     // scaling (per-core memory bandwidth is not yet saturated, as on a
     // real cluster where each executor brings its own socket);
     // local[32] additionally reports peak single-host throughput.
+    // 5 short interleaved rounds (1 timed run each after warmup) rather
+    // than 3 long ones: noise windows on this host last minutes, so
+    // spreading samples over more alternations gives each level a
+    // better chance of catching a quiet window for its minimum.
     val levels = Seq(4, 16, 32)
     val samples = scala.collection.mutable.Map(
       levels.map(_ -> List.empty[Double]): _*)
-    for (_ <- 1 to 3; cpus <- levels) {
+    for (round <- 1 to 5; cpus <- levels) {
       val s = session(cpus)
       val full = TranscriptPipeline(s.read.parquet(inputDir))
       def run(): Unit = full.write.format("noop").mode("overwrite").save()
       run() // warmup (JIT/codegen)
-      samples(cpus) = samples(cpus) ++ (1 to 2).map(_ => timed(run()))
+      val n = if (round == 1) 2 else 1
+      samples(cpus) = samples(cpus) ++ (1 to n).map(_ => timed(run()))
       s.stop()
     }
     val best = levels.map(c => c -> samples(c).min).toMap
@@ -88,6 +93,11 @@ object Bench {
     // -- phase 2: per-query sweep at local[32] over the driver SF dir ------
     // (verified queries + bench-only fast-hash production tiers)
     val s32 = session(32)
+    // warm the shared transcript-view cache UNTIMED so the first
+    // transcript query doesn't absorb the one-time view materialization
+    try SparkEntry.queries("turn_order")(s32, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val queryTimes = (SparkEntry.queries ++ SparkEntry.benchQueries)
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = timed {

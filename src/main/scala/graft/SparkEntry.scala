@@ -779,10 +779,10 @@ object SparkEntry {
            ), sh AS (
              SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) AS shingles
              FROM toks WHERE len(w) >= 3
+           ), sigb AS (
+             SELECT doc_id, list_transform(shingles, s -> cast(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS bh FROM sh
            ), sig AS (
-             SELECT doc_id, list_transform(range(0, 16), k ->
-               list_min(list_transform(shingles, s -> cast(('0x' || substr(md5(s || ':' || k), 1, 8)) AS BIGINT)))) AS mh
-             FROM sh
+             SELECT doc_id, [__MIXES__] AS mh FROM sigb
            ), bands AS (
              SELECT doc_id, mh, unnest(range(0, 4)) AS band FROM sig
            ), bucketed AS (
@@ -793,7 +793,10 @@ object SparkEntry {
            )
            SELECT doc_a, doc_b,
              round(len(list_filter(range(0,16), i -> ma[i+1] = mb[i+1])) / 16.0, 4) AS est_jaccard
-           FROM cand WHERE len(list_filter(range(0,16), i -> ma[i+1] = mb[i+1])) >= 8""",
+           FROM cand WHERE len(list_filter(range(0,16), i -> ma[i+1] = mb[i+1])) >= 8"""
+        .replace("__MIXES__", DedupOps.minhashSalts(16).map { case (a, b) =>
+          s"list_min(list_transform(bh, h -> (h * $a + $b) % 4294967296))"
+        }.mkString(", ")),
 
       "dedup_simhash" ->
         """WITH toks AS (

@@ -49,13 +49,30 @@ object DedupOps {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
+  /** Per-salt affine mixers for MinHash: `h_k(x) = (x·A_k + B_k) mod
+    * 2^32` over one strong 32-bit base hash per shingle — the standard
+    * one-strong-hash + universal-family construction. One md5 (or
+    * xxhash) per shingle instead of `numHashes` of them: measured the
+    * base hash dominates signature cost. A_k odd < 2^30 keeps x·A_k
+    * within int64 in every engine; constants derive from md5 so the
+    * DuckDB oracle can reproduce them. */
+  def minhashSalts(numHashes: Int): IndexedSeq[(Long, Long)] =
+    (0 until numHashes).map { k =>
+      val hex = PortableHash.md5Hex(s"mh:$k")
+      val a = (java.lang.Long.parseLong(hex.substring(0, 8), 16) %
+        (1L << 30)) | 1L
+      val b = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      (a, b)
+    }
+
   /** MinHash signature + LSH banding near-duplicate detection.
     *
-    * `numHashes` independent permutations approximated by salted hashes;
-    * `bands` bands of `numHashes/bands` rows each: documents sharing any
-    * band bucket become candidate pairs (classic banding: a pair with
-    * Jaccard j collides w.p. 1-(1-j^r)^b). Estimated Jaccard = fraction
-    * of equal signature slots; pairs below `threshold` are discarded.
+    * `numHashes` independent permutations approximated by per-salt
+    * affine mixes of one base hash ([[minhashSalts]]); `bands` bands of
+    * `numHashes/bands` rows each: documents sharing any band bucket
+    * become candidate pairs (classic banding: a pair with Jaccard j
+    * collides w.p. 1-(1-j^r)^b). Estimated Jaccard = fraction of equal
+    * signature slots; pairs below `threshold` are discarded.
     *
     * Scale shape: signature computation is embarrassingly parallel; the
     * only shuffle is the band-bucket self-join, whose fan-out is bounded
@@ -71,18 +88,24 @@ object DedupOps {
       portable: Boolean = true) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     private val rows = numHashes / bands
+    private val salts = minhashSalts(numHashes)
 
-    private def h(s: Column, k: Int): Column =
-      if (portable) PortableHash.md32(s, k) else PortableHash.fast32(s, k)
-
-    /** (idCol, mh: array<long>) — one row per doc with its signature. */
+    /** (idCol, mh: array<long>) — one row per doc with its signature.
+      * The base-hash array is let-bound: md5/xxhash runs ONCE per
+      * shingle, each of the `numHashes` slots is a cheap affine mix. */
     def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
       val w = words(col(textCol))
+      val base = (s: Column) =>
+        if (portable) PortableHash.md32(s) else PortableHash.fast32(s, 0)
       df.select(col(idCol), shingles(w, shingleSize).as("__sh__"))
         .where(size(col("__sh__")) > 0)
-        .select(col(idCol), array(
-          (0 until numHashes).map(k =>
-            array_min(transform(col("__sh__"), s => h(s, k)))): _*).as("mh"))
+        .select(col(idCol),
+          graft.functions.Cols.let(transform(col("__sh__"), base)) { bh =>
+            array(salts.map { case (a, b) =>
+              array_min(transform(bh, x =>
+                pmod(x * lit(a) + lit(b), lit(1L << 32))))
+            }: _*)
+          }.as("mh"))
     }
 
     /** (idCol, mh, band, bucket) — exploded LSH bands. */

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 
@@ -37,17 +36,26 @@ object SimilarityOps {
     dot / (na * nb)
   }
 
+  /** (rank, id) for a scored candidate set: `orderBy.limit(k)` plans as
+    * `TakeOrderedAndProject` (no full sort), then the ≤k survivors fold
+    * into ONE bounded array that is sorted and position-exploded. No
+    * `row_number` over an unpartitioned Window anywhere — that pattern
+    * moves ALL data to one task the moment a caller lifts the limit. */
+  private def rankTopK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    scored.orderBy(col("cos").desc, col(idCol)).limit(k)
+      .agg(array_sort(collect_list(
+        struct((-col("cos")).as("nc"), col(idCol).as("id")))).as("__top__"))
+      .select(posexplode(col("__top__")).as(Seq("__p__", "__s__")))
+      .select((col("__p__") + 1).cast("int").as("rank"),
+        col("__s__").getField("id").as(idCol))
+
   /** Exact top-k by cosine against one query vector (broadcast). */
   def bruteForceTopK(corpus: DataFrame, query: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = query.select(col(vecCol).as("__qv__"))
     val scored = corpus.crossJoin(broadcast(q))
       .withColumn("cos", cosine(col(vecCol), col("__qv__")))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-    scored.withColumn("rank", row_number()
-        .over(Window.orderBy(col("cos").desc, col(idCol))).cast("int"))
-      .select(col("rank"), col(idCol))
+    rankTopK(scored, k, idCol)
   }
 
   /** Sign-LSH over `planes` fixed hyperplanes with ±1 weights derived
@@ -85,11 +93,7 @@ object SimilarityOps {
         .join(broadcast(q), col("__b__") === col("__qb__"))
       val scored = cand
         .withColumn("cos", cosine(col(vecCol), col("__qv__")))
-        .orderBy(col("cos").desc, col(idCol))
-        .limit(k)
-      scored.withColumn("rank", row_number()
-          .over(Window.orderBy(col("cos").desc, col(idCol))).cast("int"))
-        .select(col("rank"), col(idCol))
+      rankTopK(scored, k, idCol)
     }
   }
 
@@ -148,11 +152,7 @@ object SimilarityOps {
         .join(broadcast(q), array_contains(col("__qcells__"), col("__cell__")))
       val scored = cand
         .withColumn("cos", cosine(col(vecCol), col("__qv__")))
-        .orderBy(col("cos").desc, col(idCol))
-        .limit(k)
-      scored.withColumn("rank", row_number()
-          .over(Window.orderBy(col("cos").desc, col(idCol))).cast("int"))
-        .select(col("rank"), col(idCol))
+      rankTopK(scored, k, idCol)
     }
   }
 
