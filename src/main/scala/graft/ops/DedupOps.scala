@@ -162,20 +162,23 @@ object DedupOps {
       // variable in the per-bit loop, or Catalyst recomputes the md5
       // once per (token, bit): 32× the hashing cost (measured).
       val tokenHashes = transform(words(textCol), t => h(t))
-      // per-token ±1 votes summed per bit, then sign → bit.
-      // pow(2,b) on b<=62 is exact in doubles; Scala's shiftleft/shiftright
-      // only accept Int literals, so bit tests use exact 2^b arithmetic.
+      // per-token ±1 votes summed per bit, then sign → bit. Bit tests
+      // are integer shiftright/shiftleft (functions.shiftleft only takes
+      // Int literals, so call_function passes the column bit index) —
+      // double pow/floor math matches only up to 53-bit sketches.
+      def bitOf(hv: Column, b: Column): Column =
+        call_function("shiftright", hv, b).bitwiseAND(lit(1L))
       val sums = aggregate(
         tokenHashes,
         array_repeat(lit(0L), bits),
         (acc, hv) =>
           zip_with(acc, sequence(lit(0), lit(bits - 1)),
-            (a, b) => a + when(
-              pmod(floor(hv / pow(lit(2.0), b)).cast("long"), lit(2L)) === 1,
-              lit(1L)).otherwise(lit(-1L))))
+            (a, b) => a + when(bitOf(hv, b) === 1, lit(1L))
+              .otherwise(lit(-1L))))
       aggregate(
         zip_with(sums, sequence(lit(0), lit(bits - 1)),
-          (s, b) => when(s > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
+          (s, b) => when(s > 0,
+            call_function("shiftleft", lit(1L), b)).otherwise(0L)),
         lit(0L), (acc, x) => acc + x)
     }
 

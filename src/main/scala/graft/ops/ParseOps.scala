@@ -235,8 +235,12 @@ object ParseOps {
         "__THREAD__" -> regexp_extract(src, rx, 3),
         "__FILE__" -> regexp_extract(src, rx, 4),
         "__LINE__" -> regexp_extract(src, rx, 5),
-        "microtime" -> unix_micros(to_timestamp(regexp_extract(src, rx, 1),
-          "yyyy-MM-dd HH:mm:ss.SSSSSS")).cast(StringType),
+        // try_to_timestamp: a line can match the shape with a
+        // nonsense time ("[notatime]\t[INFO]\t…") — parser totality
+        // demands null, not an ANSI parse exception
+        "microtime" -> unix_micros(try_to_timestamp(
+          regexp_extract(src, rx, 1),
+          lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))).cast(StringType),
         "apsara_kv" -> strToMapLastWin(regexp_replace(tail, "^\\t", ""), "\t", ":"))
       opts.finish(df, sourceKey, ok, fields)
     }
