@@ -143,6 +143,82 @@ object DedupOps {
         .where(col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     }
+
+    /** INCREMENTAL near-dup: candidate pairs between a NEW document
+      * batch and an already-signed corpus — the daily-ingest shape at
+      * 100 TB, where re-sketching the whole corpus per batch is the
+      * difference between minutes and days. `existingSig` is a
+      * signature table previously produced by [[signatures]] (persist
+      * it partitioned/bucketed by id); only the new batch is sketched,
+      * and the join touches corpus signatures, not corpus text.
+      * Returns (doc_new, doc_old, est_jaccard); combine with
+      * `pairs(newDocs)` for new-vs-new duplicates. */
+    def pairsAgainst(newDocs: DataFrame, existingSig: DataFrame,
+        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      val nb = banded(signatures(newDocs, idCol, textCol), idCol)
+        .select(col(idCol).as("doc_new"), col("mh").as("ma"),
+          col("band"), col("bucket"))
+      val ob = banded(existingSig, idCol)
+        .select(col(idCol).as("doc_old"), col("mh").as("mb"),
+          col("band"), col("bucket"))
+      val matches = size(filter(
+        zip_with(col("ma"), col("mb"), (x, y) => (x === y).cast("int")),
+        v => v === 1))
+      nb.join(ob, Seq("band", "bucket"))
+        .where(col("doc_new") =!= col("doc_old"))
+        .select(col("doc_new"), col("doc_old"), col("ma"), col("mb"))
+        .distinct()
+        .withColumn("est_jaccard",
+          round(matches.cast("double") / numHashes, 4))
+        .where(col("est_jaccard") >= threshold)
+        .select("doc_new", "doc_old", "est_jaccard")
+    }
+  }
+
+  /** Resolve near-duplicate PAIRS into keep/drop decisions: connected
+    * components by iterative min-label propagation, survivor = the
+    * minimum id of each component.
+    *
+    * Duplicate clusters from LSH candidate generation are near-cliques
+    * (every member shares a bucket with most others), so propagation
+    * converges in 2-3 rounds; `maxIter` bounds pathological chains. The
+    * per-iteration work is two hash joins + one aggregation — all
+    * shuffle-partitioned by id, no driver data; the driver only
+    * coordinates the loop and checks the (scalar) convergence count,
+    * exactly how GraphX/Pregel iterate.
+    *
+    * Returns (id, component, keep). */
+  def resolveDuplicates(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+      .withColumn("comp", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val lu = labels.select(col("id").as("u"), col("comp").as("cu"))
+      val lv = labels.select(col("id").as("v"), col("comp").as("cv"))
+      val withLabels = edges.join(lu, "u").join(lv, "v")
+        .select(col("u"), col("v"), least(col("cu"), col("cv")).as("cand"))
+      val msgs = withLabels.select(col("u").as("id"), col("cand"))
+        .union(withLabels.select(col("v").as("id"), col("cand")))
+        .groupBy("id").agg(min(col("cand")).as("cand"))
+      val next = labels.join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
+        .cache()
+      val changed = next.join(labels.select(col("id"),
+          col("comp").as("prev")), "id")
+        .where(col("comp") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumn("keep", col("comp") === col("id"))
   }
 
   /** SimHash document sketch: each token votes ±1 on `bits` bit

@@ -141,6 +141,44 @@ object SimilarityOps {
     def cell(vecCol: Column, cents: Array[Array[Double]]): Column =
       element_at(rankedCells(vecCol, cents), 1).getField("cell")
 
+    /** Materialize the IVF index: the corpus written `partitionBy(cell)`
+      * — the at-rest layout where a query SCANS ONLY its nprobe cell
+      * partitions instead of the corpus (partition pruning shows up as
+      * `PartitionFilters: [cell IN (...)]` in the scan). Returns the
+      * plan-time centroids to pass to [[topKIndexed]]. */
+    def writeIndex(corpus: DataFrame, io: graft.sink.TableIO, table: String,
+        idCol: String = "vec_id", vecCol: String = "embedding")
+        : Array[Array[Double]] = {
+      val cents = centroids(corpus, idCol, vecCol)
+      io.overwritePartitions(
+        corpus.withColumn("cell", cell(col(vecCol), cents)),
+        table, Seq("cell"))
+      cents
+    }
+
+    /** ANN top-k over a materialized index: the query's nprobe best
+      * cells become a partition-pruning predicate (a bounded driver-side
+      * list, like the reference's shard lookup), then exact rerank over
+      * only those partitions. */
+    def topKIndexed(spark: org.apache.spark.sql.SparkSession,
+        io: graft.sink.TableIO, table: String,
+        cents: Array[Array[Double]], query: DataFrame, k: Int,
+        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      val probes = slice(rankedCells(col(vecCol), cents), 1, nprobe)
+      // nprobe cell ids for ONE query vector: bounded control-plane read
+      val qRow = query
+        .select(col(vecCol).as("__qv__"),
+          transform(probes, p => p.getField("cell")).as("__qcells__"))
+        .head()
+      val qCells = qRow.getSeq[Int](1)
+      val qVec = array(qRow.getSeq[Float](0) // literal array: broadcast-free
+        .map(v => lit(v.toDouble)): _*)
+      val cand = io.read(spark, table)
+        .where(col("cell").isin(qCells: _*)) // partition pruning
+      val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))
+      rankTopK(scored, k, idCol)
+    }
+
     /** ANN top-k: probe the query's nprobe best cells, exact rerank. */
     def topK(corpus: DataFrame, query: DataFrame, k: Int,
         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -251,6 +251,57 @@ class DatasetOpsSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("resolveDuplicates: pairs -> connected components -> min-id survivors") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain 1-2-3
+      (5L, 6L),           // pair
+      (8L, 9L), (7L, 9L)  // 7-8-9 via 9
+    ).toDF("doc_a", "doc_b")
+    val r = DedupOps.resolveDuplicates(pairs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == ((1L, true)) && r(2L) == ((1L, false)) && r(3L) == ((1L, false)))
+    assert(r(5L) == ((5L, true)) && r(6L) == ((5L, false)))
+    assert(r(7L) == ((7L, true)) && r(8L) == ((7L, false)) && r(9L) == ((7L, false)))
+  }
+
+  test("incremental minhash: new batch pairs against a stored signature table only") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight nine")
+    val mh = DedupOps.MinHashLSH(16, 4, 3, 0.5)
+    val sig = mh.signatures(corpus, "doc_id", "text")
+    val fresh = docs(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta", // dup of 1
+      11L -> "totally novel content with no duplicate at all")
+    val inc = mh.pairsAgainst(fresh, sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.toSeq == Seq((10L, 1L, 1.0)))
+    // equivalent to full-corpus pairs restricted to new-old edges
+    val full = mh.pairs(corpus.unionByName(fresh)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 10L)))
+  }
+
+  test("ivf index: partitioned write + query-side partition pruning, same top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val io = graft.sink.TableIO(dir)
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (10L, Seq(0.9f, 0.1f, 0f, 0f)), (11L, Seq(0.1f, 0.9f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq((99L, Seq(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    val ivf = SimilarityOps.IvfIndex(nlist = 2, nprobe = 1)
+    val cents = ivf.writeIndex(corpus, io, "ivf_index")
+    val viaIndex = ivf.topKIndexed(spark, io, "ivf_index", cents, query, 4)
+    // pruning visible in the scan: only the probed cell partitions read
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val direct = ivf.topK(corpus, query, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val indexed = viaIndex.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(indexed == direct)
+  }
+
   test("fast hash tier: same dup/non-dup pair decisions as the portable md5 tier") {
     // exact dups + clearly-disjoint docs: both hash families must agree
     // on the PAIR SET (estimates may differ on borderline docs, so the
