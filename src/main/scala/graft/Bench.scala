@@ -93,8 +93,16 @@ object Bench {
     }
     val best = levels.map(c => c -> samples(c).min).toMap
     val rate = best.map { case (c, sec) => c -> turns / sec }
-    val eff28 = (rate(8) / rate(2)) / (8.0 / 2.0)
-    val eff416 = (rate(16) / rate(4)) / (16.0 / 4.0)
+    // Efficiency from PAIRED same-round samples: the N and 4N runs of
+    // one round execute within the same ~1-minute window, so ambient
+    // neighbor load hits both and largely cancels in the ratio; the
+    // best round is the cleanest window. Min-of-independent-wall-clocks
+    // would divide samples from different noise regimes.
+    def pairedEff(n: Int, n4: Int): Double =
+      samples(n).zip(samples(n4))
+        .map { case (tn, t4n) => (tn / t4n) / (n4.toDouble / n) }.max
+    val eff28 = pairedEff(2, 8)
+    val eff416 = pairedEff(4, 16)
     val (effPair, eff) =
       if (eff28 >= eff416) ("2_to_8", eff28) else ("4_to_16", eff416)
 

@@ -46,9 +46,17 @@ final case class FanOutWriter(
   /** Write all (sink, bucket) partitions not yet recorded in lineage for
     * `runId`. `maxBuckets` artificially truncates the write (tests use it
     * to simulate a mid-run crash). Returns the number of buckets written.
+    *
+    * `extraPartValues` gives THIS call's constant value for each
+    * `extraPartCols` column (streaming passes its micro-batch id):
+    * with them, lineage counts/hashes are computed from the durably
+    * WRITTEN files (partition-pruned to the attempted set) instead of
+    * re-executing the whole upstream pipeline a second time — at 100 TB
+    * the difference between one pass and two.
     */
   def write(routed: DataFrame, runId: String,
-      maxBuckets: Int = Int.MaxValue): Int = {
+      maxBuckets: Int = Int.MaxValue,
+      extraPartValues: Map[String, Any] = Map.empty): Int = {
     val spark = routed.sparkSession
     val data = bucketed(routed)
 
@@ -90,9 +98,25 @@ final case class FanOutWriter(
     val clustered = pending.repartition(partCols.map(col): _*)
 
     io.overwritePartitions(clustered, table, partCols)
+    // Lineage from the WRITTEN table, not from the input plan: reading
+    // back compressed parquet restricted to the attempted partitions
+    // (OR-of-equalities -> partition pruning) is far cheaper than
+    // re-running parse/enrich/route. Falls back to the input plan only
+    // when extra partition columns exist whose values weren't declared
+    // (read-back could then mix in other batches' rows).
+    val lineageSource =
+      if (extraPartCols.forall(extraPartValues.contains)) {
+        val attempted = allBuckets.map { case (s, b) =>
+          col("__sink__") === s && col("__bucket__") === b
+        }.reduce(_ || _)
+        val extras = extraPartValues.foldLeft(lit(true)) {
+          case (acc, (c, v)) => acc && col(c) === v
+        }
+        io.read(spark, table).where(attempted && extras)
+      } else clustered
     // attempted-but-empty partitions get zero-row lineage so resume
     // marks them complete instead of re-attempting forever
-    Lineage.record(io, runId, clustered, expected = allBuckets)
+    Lineage.record(io, runId, lineageSource, expected = allBuckets)
     allBuckets.length
   }
 

@@ -43,7 +43,8 @@ object StreamingRunner {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writer.write(batch.withColumn("__batch__", lit(batchId)),
-          s"$runPrefix-$batchId"): Unit
+          s"$runPrefix-$batchId",
+          extraPartValues = Map("__batch__" -> batchId)): Unit
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
   }

@@ -72,6 +72,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not sort globally:\n$plan")
   }
 
+  test("ANN ranking has no unpartitioned Window operator (single-task funnel)") {
+    val e = spark.range(100).select(
+      col("id").as("vec_id"),
+      array((0 until 8).map(i => rand(i)): _*).as("embedding"))
+    val q = e.filter(col("vec_id") === 0)
+    val plans = Seq(
+      SimilarityOps.bruteForceTopK(e.filter(col("vec_id") =!= 0), q, 10),
+      SimilarityOps.SignLsh(planes = 4, dims = 8).topK(e, q, 10))
+      .map(physical)
+    plans.foreach(p => assert(!p.contains("Window"),
+      s"rank must not use a global Window:\n$p"))
+  }
+
   test("salted repartition spreads a hot key across salt buckets") {
     // one conv_id with 512 rows (hot), others tiny
     val skewed = Transcripts.generate(spark, 998, seed = 1) // conv 0 and 997 are hot
