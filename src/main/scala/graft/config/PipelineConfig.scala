@@ -313,6 +313,12 @@ object PipelineConfig {
           .getOrElse(Seq("conv_id")),
         aggBucket = strOpt(s, "aggBucket"))
     }
+    // one routing model per pipeline, as in the reference (a pipeline
+    // has EITHER the Go first-match aggregator router OR the C++
+    // multicast router): stacking them would have multicast overwrite
+    // the router's __sink__ column and silently drop its routing
+    require(router.isEmpty || multicast.isEmpty,
+      "config may declare 'router' or 'multicast', not both")
     Spec(stages, router, multicast, sink)
   }
 }

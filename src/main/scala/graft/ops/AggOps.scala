@@ -236,7 +236,12 @@ object AggOps {
         if (chunk.nonEmpty) emitUnmatched()
         res.iterator
       }
+      // restore the INPUT's conv/order column types (the typed FSM ran
+      // over strings/longs) so FSM and window modes emit one schema
       out.toDF(convCol, "segment", "first_turn", "n_lines", "merged_text")
+        .withColumn(convCol, col(convCol).cast(df.schema(convCol).dataType))
+        .withColumn("first_turn",
+          col("first_turn").cast(df.schema(orderCol).dataType))
     }
   }
 

@@ -209,6 +209,7 @@ object DedupOps {
         .select(col("id"),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
         .cache()
+      next.count() // fully materialize BEFORE dropping the parent cache
       val changed = next.join(labels.select(col("id"),
           col("comp").as("prev")), "id")
         .where(col("comp") =!= col("prev")).limit(1).count()

@@ -55,18 +55,25 @@ object FieldOps {
     def apply(df: DataFrame): DataFrame = {
       val out =
         if (replaceAll) regexp_replace(col(sourceKey), regex, replacement)
-        else regexp_replace(col(sourceKey), s"(?s)^(.*?)(?:$regex)",
-          "$1" + FieldOps.shiftGroupRefs(replacement, 1))
+        else {
+          val groups = java.util.regex.Pattern.compile(regex).matcher("")
+            .groupCount()
+          regexp_replace(col(sourceKey), s"(?s)^(.*?)(?:$regex)",
+            "$1" + FieldOps.shiftGroupRefs(replacement, 1, groups))
+        }
       df.withColumn(destKey.getOrElse(sourceKey), out)
     }
   }
 
   /** Shift every unescaped `$N` capture-group reference in a Java-regex
     * replacement string by `by` (used when a wrapper pattern prepends
-    * capture groups). `\$` escapes are left untouched. Multi-digit runs
-    * are treated as one group number — same greedy read Java's
-    * `Matcher.appendReplacement` performs when that group exists. */
-  private[ops] def shiftGroupRefs(repl: String, by: Int): String = {
+    * capture groups). `\$` escapes are left untouched. Digits are read
+    * with Java's `Matcher.appendReplacement` greed: extend the group
+    * number only while it stays a valid group of the ORIGINAL pattern
+    * (`maxGroup`), so `"$12"` against a 2-group pattern means group 1
+    * then literal '2', exactly as unwrapped Java would read it. */
+  private[ops] def shiftGroupRefs(repl: String, by: Int,
+      maxGroup: Int): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < repl.length) {
@@ -75,8 +82,14 @@ object FieldOps {
         sb.append(c).append(repl.charAt(i + 1)); i += 2
       } else if (c == '$' && i + 1 < repl.length && repl.charAt(i + 1).isDigit) {
         var j = i + 1
-        while (j < repl.length && repl.charAt(j).isDigit) j += 1
-        sb.append('$').append(repl.substring(i + 1, j).toInt + by)
+        var num = 0
+        // greedy-while-valid digit read (Matcher.appendReplacement)
+        while (j < repl.length && repl.charAt(j).isDigit &&
+          (num == 0 || num * 10 + (repl.charAt(j) - '0') <= maxGroup)) {
+          num = num * 10 + (repl.charAt(j) - '0')
+          j += 1
+        }
+        sb.append('$').append(num + by)
         i = j
       } else { sb.append(c); i += 1 }
     }

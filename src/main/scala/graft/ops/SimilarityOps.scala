@@ -166,13 +166,16 @@ object SimilarityOps {
         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
       val probes = slice(rankedCells(col(vecCol), cents), 1, nprobe)
       // nprobe cell ids for ONE query vector: bounded control-plane read
-      val qRow = query
-        .select(col(vecCol).as("__qv__"),
+      val qRows = query
+        .select(transform(col(vecCol), x => x.cast("double")).as("__qv__"),
           transform(probes, p => p.getField("cell")).as("__qcells__"))
-        .head()
-      val qCells = qRow.getSeq[Int](1)
-      val qVec = array(qRow.getSeq[Float](0) // literal array: broadcast-free
-        .map(v => lit(v.toDouble)): _*)
+        .take(1)
+      if (qRows.isEmpty)
+        return io.read(spark, table).limit(0)
+          .select(lit(0).cast("int").as("rank"), col(idCol))
+      val qCells = qRows.head.getSeq[Int](1)
+      val qVec = array(qRows.head.getSeq[Double](0) // literal: broadcast-free
+        .map(lit): _*)
       val cand = io.read(spark, table)
         .where(col("cell").isin(qCells: _*)) // partition pruning
       val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))

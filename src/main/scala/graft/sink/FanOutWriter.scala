@@ -58,7 +58,18 @@ final case class FanOutWriter(
       maxBuckets: Int = Int.MaxValue,
       extraPartValues: Map[String, Any] = Map.empty): Int = {
     val spark = routed.sparkSession
-    val data = bucketed(routed)
+    val data0 = bucketed(routed)
+    // A declared sink set is a CONTRACT: a routed row with an
+    // undeclared sink would be silently dropped on resume and never
+    // lineage-recorded, so fail the write loudly instead — the check
+    // rides the write pass, no extra scan.
+    val data =
+      if (sinks.isEmpty) data0
+      else data0.withColumn("__sink__",
+        when(col("__sink__").isin(sinks: _*), col("__sink__"))
+          .otherwise(raise_error(concat(
+            lit("routed sink not in FanOutWriter.sinks: "),
+            col("__sink__")))))
 
     // lineage is tiny (sinks × buckets rows) — driver-side set is bounded
     val done: Set[(String, Int)] = Lineage
@@ -97,6 +108,16 @@ final case class FanOutWriter(
     val partCols = Seq("__sink__", "__bucket__") ++ extraPartCols
     val clustered = pending.repartition(partCols.map(col): _*)
 
+    // This run OWNS the attempted partition space: clear attempted
+    // directories first (bounded driver-side deletes), because dynamic
+    // partition overwrite only replaces partitions present in the data
+    // — an attempted-but-now-empty partition would otherwise keep stale
+    // rows from an earlier run (and poison the read-back lineage).
+    val partitionPathKnown = extraPartCols.forall(extraPartValues.contains)
+    if (partitionPathKnown)
+      io.deletePartitions(table, allBuckets,
+        subdirs = extraPartCols.map(c => s"$c=${extraPartValues(c)}"))
+
     io.overwritePartitions(clustered, table, partCols)
     // Lineage from the WRITTEN table, not from the input plan: reading
     // back compressed parquet restricted to the attempted partitions
@@ -105,7 +126,7 @@ final case class FanOutWriter(
     // when extra partition columns exist whose values weren't declared
     // (read-back could then mix in other batches' rows).
     val lineageSource =
-      if (extraPartCols.forall(extraPartValues.contains)) {
+      if (partitionPathKnown) {
         val attempted = allBuckets.map { case (s, b) =>
           col("__sink__") === s && col("__bucket__") === b
         }.reduce(_ || _)

@@ -1,5 +1,6 @@
 package graft.sink
 
+import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,6 +62,28 @@ final case class TableIO(root: String,
   /** Full overwrite (small control tables only). */
   def overwrite(df: DataFrame, table: String): Unit =
     writer(df).mode("overwrite").parquet(path(table))
+
+  /** Delete specific partition directories (bounded, driver-side — the
+    * declared partition space is ≤ sinks × buckets). Dynamic partition
+    * overwrite only replaces partitions PRESENT in the written data;
+    * a run that owns a declared partition space must clear the
+    * attempted-but-now-empty ones too, or stale rows from an earlier
+    * run survive in them. `subdirs` appends deeper partition levels
+    * (e.g. streaming's `__batch__=<id>`). */
+  def deletePartitions(table: String, pairs: Seq[(String, Int)],
+      sinkCol: String = "__sink__", bucketCol: String = "__bucket__",
+      subdirs: Seq[String] = Nil): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    pairs.foreach { case (s, b) =>
+      val base = Paths.get(path(table), s"$sinkCol=$s", s"$bucketCol=$b")
+      val target = subdirs.foldLeft(base)((p, d) => p.resolve(d))
+      val f = target.toFile
+      if (f.exists()) rm(f)
+    }
+  }
 
   /** Bucketed write (Hive-style layout via `saveAsTable`): rows are
     * hash-partitioned into `numBuckets` files per partition by

@@ -180,6 +180,18 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(bySink("all_user") == roles("user") + roles("assistant"))
   }
 
+  test("router + multicast together are rejected at parse time") {
+    val both =
+      """router:
+        |  sourceKey: role
+        |  rules: [{regex: assistant, sink: a}]
+        |multicast:
+        |  conditions: [{sink: b, key: role, regex: tool}]
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(both))
+    assert(e.getMessage.contains("not both"))
+  }
+
   test("configured parser failure semantics flow through (keepSource default)") {
     val cfg =
       """processors:

@@ -133,6 +133,19 @@ class GrokSpec extends AnyFunSuite {
     assert(out.exists(m => m("text") == "WRONG LOG")) // kept on fail
   }
 
+  test("a custom-pattern named group cannot collide with internal alias markers") {
+    // a dictionary body that names a group exactly like the default
+    // marker prefix must not shadow the %{INT:a} alias
+    val (rx, fields) = Grok.compileIndexed("%{INT:a} %{P}",
+      Map("P" -> "(?<gk0>x+)"))
+    val byName = fields.map(f => f._1 -> f._3).toMap
+    assert(byName.keySet == Set("a", "gk0"))
+    val m = java.util.regex.Pattern.compile(rx).matcher("42 xxx")
+    assert(m.matches())
+    assert(m.group(byName("a")) == "42")
+    assert(m.group(byName("gk0")) == "xxx")
+  }
+
   test("typed aliases: %{P:alias:type} yields cast columns") {
     import graft.SparkTestSession._
     import graft.ops.ParseOps

@@ -300,6 +300,17 @@ class DatasetOpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
     val indexed = viaIndex.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(indexed == direct)
+    // element-type agnostic (array<double> corpus) + empty query
+    val dCorpus = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val dQuery = query.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val cents2 = ivf.writeIndex(dCorpus, io, "ivf_index_d")
+    val viaD = ivf.topKIndexed(spark, io, "ivf_index_d", cents2, dQuery, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(viaD == direct)
+    assert(ivf.topKIndexed(spark, io, "ivf_index_d", cents2,
+      dQuery.limit(0), 4).count() == 0)
   }
 
   test("fast hash tier: same dup/non-dup pair decisions as the portable md5 tier") {

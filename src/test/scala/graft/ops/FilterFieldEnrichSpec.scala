@@ -151,6 +151,11 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     val lit = FieldOps.StringReplace("text", "secret(\\d)", "\\$$1",
       replaceAll = false)(df)
     assert(collectMaps(lit).head("text") == "pwd=$1 other pwd=secret2")
+    // Java appendReplacement greed: "$12" against a 2-group pattern is
+    // group 1 then literal '2', and must stay that after the shift
+    val greedy = FieldOps.StringReplace("text", "(secret)(\\d)", "$12",
+      replaceAll = false)(df)
+    assert(collectMaps(greedy).head("text") == "pwd=secret2 other pwd=secret2")
   }
 
   test("encrypt: aes_decrypt round-trips the plaintext (CBC/PKCS, iv-prefixed)") {

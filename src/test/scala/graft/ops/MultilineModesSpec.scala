@@ -92,6 +92,18 @@ class MultilineModesSpec extends AnyFunSuite {
     assert(lone.forall(_._1 > 0))
   }
 
+  test("fsm and window modes emit the same schema (conv/order types preserved)") {
+    val s = spark; import s.implicits._
+    // numeric conv ids: the FSM's internal string grouping must not leak
+    val df = Seq((7, 0, B), (7, 1, E)).toDF("conv_id", "turn_idx", "text")
+    val fsmOut = AggOps.MultilineMerge(startPattern = Some(sRx),
+      endPattern = Some(eRx))(df)
+    val winOut = AggOps.MultilineMerge(startPattern = Some(sRx))(df)
+    assert(fsmOut.schema.map(f => f.name -> f.dataType) ==
+      winOut.schema.map(f => f.name -> f.dataType))
+    assert(fsmOut.select("conv_id").head().getInt(0) == 7)
+  }
+
   test("fsm modes distribute per conversation (two convs stay independent)") {
     val s = spark; import s.implicits._
     val df = Seq(

@@ -68,6 +68,42 @@ class FanOutResumeSpec extends AnyFunSuite {
     assert(lin.select("sink", "bucket").distinct().count() == lin.count())
   }
 
+  test("a later run owns its declared partition space: empty sinks clear + zero-row lineage") {
+    val s = spark; import s.implicits._
+    val dir = tmp(); val io = TableIO(dir)
+    def writer = FanOutWriter(io, numBuckets = 2, sinks = Seq("a", "b"))
+    val both = Seq(("c1", "a", "x"), ("c2", "b", "y"))
+      .toDF("conv_id", "__sink__", "payload")
+    writer.write(both, "run-1")
+    assert(spark.read.parquet(s"$dir/events_routed")
+      .select("__sink__").distinct().count() == 2)
+    // run-2 routes nothing to sink b: its attempted b-partitions must
+    // come back EMPTY (not retain run-1 rows) with zero-row lineage
+    val onlyA = Seq(("c3", "a", "z")).toDF("conv_id", "__sink__", "payload")
+    writer.write(onlyA, "run-2")
+    val back = spark.read.parquet(s"$dir/events_routed")
+    assert(back.where(col("__sink__") === "b").count() == 0)
+    assert(back.count() == 1)
+    val lin = spark.read.parquet(s"$dir/_lineage")
+      .where(col("run_id") === "run-2")
+    assert(lin.count() == 4) // 2 sinks x 2 buckets, all attempted
+    assert(lin.where(col("sink") === "b").agg(sum("n_rows"))
+      .collect().head.getLong(0) == 0)
+  }
+
+  test("an undeclared routed sink fails the write loudly, never silently drops") {
+    val s = spark; import s.implicits._
+    val io = TableIO(tmp())
+    val data = Seq(("c1", "rogue", "x")).toDF("conv_id", "__sink__", "payload")
+    val e = intercept[Exception] {
+      FanOutWriter(io, numBuckets = 2, sinks = Seq("a", "b"))
+        .write(data, "run-x")
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + messages(t.getCause)
+    assert(messages(e).contains("rogue"))
+  }
+
   test("aggregates table reflects exactly the written sinks") {
     val dir = tmp()
     PipelineRunner.run(input, TableIO(dir), "run-agg", numBuckets = 8)
