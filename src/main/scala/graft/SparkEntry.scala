@@ -399,6 +399,9 @@ object SparkEntry {
     "quality_features" -> { (s, dir) =>
       TextOps.qualityFeatures(tbl(s, dir, "documents"))
     },
+    "repetition_stats" -> { (s, dir) =>
+      TextOps.repetitionStats(tbl(s, dir, "documents"))
+    },
     "lang_id_argmax" -> { (s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
@@ -962,6 +965,27 @@ object SparkEntry {
              round((chars - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / chars, 4) AS punct_ratio,
              round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / chars, 4) AS alpha_ratio
            FROM w""",
+
+      "repetition_stats" ->
+        """WITH w AS (
+             SELECT doc_id, str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents
+           ), uni AS (
+             SELECT doc_id, tok, count(*) AS c
+             FROM (SELECT doc_id, unnest(words) AS tok FROM w) GROUP BY 1, 2
+           ), ent AS (
+             SELECT doc_id, round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy
+             FROM uni GROUP BY 1
+           ), bg AS (
+             SELECT doc_id, b, count(*) AS c FROM (
+               SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                 i -> array_to_string(words[i:i+1], ' '))) AS b
+               FROM w WHERE len(words) >= 2) GROUP BY 1, 2
+           ), topb AS (
+             SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+             FROM bg GROUP BY 1
+           )
+           SELECT ent.doc_id, token_entropy, top_bigram_frac
+           FROM ent LEFT JOIN topb ON ent.doc_id = topb.doc_id""",
 
       "lang_id_argmax" ->
         """WITH w AS (

@@ -84,6 +84,42 @@ object TextOps {
       }
     }
 
+  /** Gopher-style repetition signals (public Rae et al. 2021 quality
+    * rules): Shannon entropy (bits) of the token distribution and the
+    * fraction of token bigrams taken by the single most frequent bigram
+    * — boilerplate/looping text shows low entropy and a high top-bigram
+    * share. Shape: one explode + two-level hash aggregation per signal
+    * (map-side partials; the shuffle key is (doc, gram), never a
+    * cross-doc join), so it scales like any groupBy.
+    *
+    * entropy = log2(N) − Σ c·log2(c) / N over token counts c.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = df.select(col(idCol), DedupOps.words(col(textCol)).as("__w__"))
+    val uni = base
+      .select(col(idCol), explode(col("__w__")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        round(log2(sum(col("c")))
+          - try_divide(sum(col("c") * log2(col("c"))), sum(col("c"))), 4)
+          .as("token_entropy"))
+    // NON-distinct bigrams (shingles() dedups — frequency matters here)
+    val bigrams = base.select(col(idCol), explode(
+      graft.functions.Cols.let(col("__w__")) { w =>
+        when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", slice(w, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))
+      }).as("bg"))
+    val top = bigrams
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        round(try_divide(max(col("c")), sum(col("c"))), 4)
+          .as("top_bigram_frac"))
+    uni.join(top, Seq(idCol), "left")
+  }
+
   /** Bottom-k document fingerprint over character `k`-gram hashes — a
     * winnowing-style sketch: order-invariant under small edits, cheap to
     * compare via set overlap. Returns an array<long> of `sketchSize`

@@ -160,6 +160,19 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(r == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "unk"))
   }
 
+  test("repetition stats: entropy and top-bigram fraction on known docs") {
+    val d = docs(
+      1L -> "a a a a",      // all-same: entropy 0, top bigram "a a" = 3/3
+      2L -> "a b c d",      // uniform: entropy log2(4)=2, bigrams all unique
+      3L -> "solo")         // one token: entropy 0, no bigrams
+    val r = TextOps.repetitionStats(d).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toMap
+    assert(r(1L) == ((0.0, Some(1.0))))
+    assert(r(2L) == ((2.0, Some(0.3333))))
+    assert(r(3L)._1 == 0.0 && r(3L)._2.isEmpty)
+  }
+
   test("bottom-k fingerprint: stable under whitespace noise, differs across docs") {
     val fp = TextOps.BottomKFingerprint(8, 8)
     val a = fp(docs(1L -> "the quick brown fox jumps over dogs",
