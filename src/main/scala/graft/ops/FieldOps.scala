@@ -56,10 +56,14 @@ object FieldOps {
       val out =
         if (replaceAll) regexp_replace(col(sourceKey), regex, replacement)
         else {
+          // the user regex is wrapped in a CAPTURING group (group 2) so
+          // a "$0" whole-match reference maps onto it; user groups
+          // shift by 2 (prefix group + match group)
           val groups = java.util.regex.Pattern.compile(regex).matcher("")
             .groupCount()
-          regexp_replace(col(sourceKey), s"(?s)^(.*?)(?:$regex)",
-            "$1" + FieldOps.shiftGroupRefs(replacement, 1, groups))
+          regexp_replace(col(sourceKey), s"(?s)^(.*?)($regex)",
+            "$1" + FieldOps.shiftGroupRefs(replacement, by = 2,
+              maxGroup = groups, zeroGroup = 2))
         }
       df.withColumn(destKey.getOrElse(sourceKey), out)
     }
@@ -67,13 +71,16 @@ object FieldOps {
 
   /** Shift every unescaped `$N` capture-group reference in a Java-regex
     * replacement string by `by` (used when a wrapper pattern prepends
-    * capture groups). `\$` escapes are left untouched. Digits are read
-    * with Java's `Matcher.appendReplacement` greed: extend the group
-    * number only while it stays a valid group of the ORIGINAL pattern
-    * (`maxGroup`), so `"$12"` against a 2-group pattern means group 1
-    * then literal '2', exactly as unwrapped Java would read it. */
+    * capture groups); `$0` maps to `zeroGroup` (the group capturing the
+    * whole user match). `\$` escapes are left untouched. Digits are
+    * read with Java's `Matcher.appendReplacement` greed: the first
+    * digit is always consumed, later digits only while the number stays
+    * a valid group of the ORIGINAL pattern (`maxGroup`) — so `"$12"`
+    * against a 2-group pattern means group 1 then literal '2', and
+    * `"$09"` means group 0 then literal '9', exactly as unwrapped Java
+    * reads them. */
   private[ops] def shiftGroupRefs(repl: String, by: Int,
-      maxGroup: Int): String = {
+      maxGroup: Int, zeroGroup: Int): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < repl.length) {
@@ -83,13 +90,15 @@ object FieldOps {
       } else if (c == '$' && i + 1 < repl.length && repl.charAt(i + 1).isDigit) {
         var j = i + 1
         var num = 0
+        var first = true
         // greedy-while-valid digit read (Matcher.appendReplacement)
         while (j < repl.length && repl.charAt(j).isDigit &&
-          (num == 0 || num * 10 + (repl.charAt(j) - '0') <= maxGroup)) {
+          (first || num * 10 + (repl.charAt(j) - '0') <= maxGroup)) {
           num = num * 10 + (repl.charAt(j) - '0')
+          first = false
           j += 1
         }
-        sb.append('$').append(num + by)
+        sb.append('$').append(if (num == 0) zeroGroup else num + by)
         i = j
       } else { sb.append(c); i += 1 }
     }

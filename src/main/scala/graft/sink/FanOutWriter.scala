@@ -115,7 +115,7 @@ final case class FanOutWriter(
     // rows from an earlier run (and poison the read-back lineage).
     val partitionPathKnown = extraPartCols.forall(extraPartValues.contains)
     if (partitionPathKnown)
-      io.deletePartitions(table, allBuckets,
+      io.deletePartitions(spark, table, allBuckets,
         subdirs = extraPartCols.map(c => s"$c=${extraPartValues(c)}"))
 
     io.overwritePartitions(clustered, table, partCols)
@@ -125,6 +125,9 @@ final case class FanOutWriter(
     // re-running parse/enrich/route. Falls back to the input plan only
     // when extra partition columns exist whose values weren't declared
     // (read-back could then mix in other batches' rows).
+    // A fully-empty write leaves no parquet footers to infer a schema
+    // from — fall back to the (empty) input plan so the zero-row
+    // lineage records still land.
     val lineageSource =
       if (partitionPathKnown) {
         val attempted = allBuckets.map { case (s, b) =>
@@ -133,7 +136,8 @@ final case class FanOutWriter(
         val extras = extraPartValues.foldLeft(lit(true)) {
           case (acc, (c, v)) => acc && col(c) === v
         }
-        io.read(spark, table).where(attempted && extras)
+        try io.read(spark, table).where(attempted && extras)
+        catch { case _: Exception => clustered.limit(0) }
       } else clustered
     // attempted-but-empty partitions get zero-row lineage so resume
     // marks them complete instead of re-attempting forever

@@ -1,6 +1,5 @@
 package graft.sink
 
-import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,19 +68,23 @@ final case class TableIO(root: String,
     * a run that owns a declared partition space must clear the
     * attempted-but-now-empty ones too, or stale rows from an earlier
     * run survive in them. `subdirs` appends deeper partition levels
-    * (e.g. streaming's `__batch__=<id>`). */
-  def deletePartitions(table: String, pairs: Seq[(String, Int)],
+    * (e.g. streaming's `__batch__=<id>`). Paths go through the Hadoop
+    * FileSystem API (scheme-aware, no listFiles NPE) with Spark's own
+    * Hive partition-value escaping, so the directory names match what
+    * the writer produced even for special characters. */
+  def deletePartitions(spark: SparkSession, table: String,
+      pairs: Seq[(String, Int)],
       sinkCol: String = "__sink__", bucketCol: String = "__bucket__",
       subdirs: Seq[String] = Nil): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val conf = spark.sparkContext.hadoopConfiguration
     pairs.foreach { case (s, b) =>
-      val base = Paths.get(path(table), s"$sinkCol=$s", s"$bucketCol=$b")
-      val target = subdirs.foldLeft(base)((p, d) => p.resolve(d))
-      val f = target.toFile
-      if (f.exists()) rm(f)
+      val parts = Seq(s"$sinkCol=${escapePathName(s)}", s"$bucketCol=$b") ++
+        subdirs
+      val target = new org.apache.hadoop.fs.Path(
+        (path(table) +: parts).mkString("/"))
+      val fs = target.getFileSystem(conf)
+      if (fs.exists(target)) fs.delete(target, true): Unit
     }
   }
 

@@ -156,6 +156,15 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     val greedy = FieldOps.StringReplace("text", "(secret)(\\d)", "$12",
       replaceAll = false)(df)
     assert(collectMaps(greedy).head("text") == "pwd=secret2 other pwd=secret2")
+    // $0 = the whole user match (not the wrapper prefix)
+    val whole = FieldOps.StringReplace("text", "secret\\d", "[$0]",
+      replaceAll = false)(df)
+    assert(collectMaps(whole).head("text") == "pwd=[secret1] other pwd=secret2")
+    // leading zero: "$09" is group 0 then literal '9' (Java greed stops
+    // when the extended number exceeds the pattern's group count)
+    val zero = FieldOps.StringReplace("text", "(secret)(\\d)", "$09",
+      replaceAll = false)(df)
+    assert(collectMaps(zero).head("text") == "pwd=secret19 other pwd=secret2")
   }
 
   test("encrypt: aes_decrypt round-trips the plaintext (CBC/PKCS, iv-prefixed)") {

@@ -91,6 +91,22 @@ class FanOutResumeSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0)
   }
 
+  test("a zero-row run empties its partition space without crashing; lineage all-zero") {
+    val s = spark; import s.implicits._
+    val dir = tmp(); val io = TableIO(dir)
+    def writer = FanOutWriter(io, numBuckets = 2, sinks = Seq("a", "b"))
+    val both = Seq(("c1", "a", "x"), ("c2", "b", "y"))
+      .toDF("conv_id", "__sink__", "payload")
+    writer.write(both, "run-1")
+    // run-2 has NO rows at all: the attempted space is cleared, the
+    // schema-less read-back must not throw, lineage records zeros
+    writer.write(both.limit(0), "run-2")
+    val lin = spark.read.parquet(s"$dir/_lineage")
+      .where(col("run_id") === "run-2")
+    assert(lin.count() == 4)
+    assert(lin.agg(sum("n_rows")).collect().head.getLong(0) == 0)
+  }
+
   test("an undeclared routed sink fails the write loudly, never silently drops") {
     val s = spark; import s.implicits._
     val io = TableIO(tmp())
