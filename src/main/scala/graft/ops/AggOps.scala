@@ -183,58 +183,16 @@ object AggOps {
     private def fsm(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
       import spark.implicits._
-      val (sOpt, cOpt, eOpt) = (startP, contP, endP)
-      val discard = discardUnmatched
+      val stepper = MultilineFsm(startP, contP, endP, discardUnmatched)
       val proj = df.select(col(convCol).cast("string"),
         col(orderCol).cast("long"), col(textCol).cast("string"))
         .as[(String, Long, String)]
       val out = proj.groupByKey(_._1).flatMapGroups { (conv, it) =>
-        val sRe = sOpt.map(java.util.regex.Pattern.compile)
-        val cRe = cOpt.map(java.util.regex.Pattern.compile)
-        val eRe = eOpt.map(java.util.regex.Pattern.compile)
-        def m(p: Option[java.util.regex.Pattern], t: String): Boolean =
-          p.exists(_.matcher(if (t == null) "" else t).find())
-        val lines = it.toArray.sortBy(_._2)
-        val res = scala.collection.mutable.ArrayBuffer
-          .empty[(String, Long, Long, Long, String)]
-        var nextSeg = 1L
-        val chunk = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        def emitMatched(): Unit = {
-          res += ((conv, nextSeg, chunk.head._1, chunk.length.toLong,
-            chunk.map(l => if (l._2 == null) "" else l._2).mkString("\n")))
-          nextSeg += 1; chunk.clear()
-        }
-        def emitUnmatched(): Unit = {
-          if (!discard) chunk.foreach { case (i, t) =>
-            res += ((conv, -i - 1, i, 1L, if (t == null) "" else t))
-          }
-          chunk.clear()
-        }
-        var partial = false
-        lines.foreach { case (_, idx, text) =>
-          if (!partial) {
-            // idle: a start (or, in continue+end mode, continue) opens;
-            // a lone end line in continue+end mode is its own record
-            if (m(sRe, text) || (sRe.isEmpty && m(cRe, text))) {
-              chunk += ((idx, text)); partial = true
-            } else if (sRe.isEmpty && cRe.nonEmpty && m(eRe, text)) {
-              chunk += ((idx, text)); emitMatched()
-            } else { chunk += ((idx, text)); emitUnmatched() }
-          } else if (cRe.nonEmpty && m(cRe, text)) {
-            chunk += ((idx, text)) // continue appends, stays partial
-          } else if (m(eRe, text)) {
-            chunk += ((idx, text)); emitMatched(); partial = false
-          } else if (cRe.nonEmpty) {
-            // continue+end: a non-continue non-end line fails the whole
-            // open chunk including itself (cpp:206-228)
-            chunk += ((idx, text)); emitUnmatched(); partial = false
-          } else {
-            chunk += ((idx, text)) // start+end: anything accumulates
-          }
-        }
-        // EOF with an end pattern configured: partial chunk is unmatched
-        if (chunk.nonEmpty) emitUnmatched()
-        res.iterator
+        val lines = it.toArray.sortBy(_._2).iterator
+          .map { case (_, i, t) => (i, t) }
+        val (recs, st) = stepper.run(stepper.initial, lines)
+        (recs ++ stepper.flush(st)).iterator
+          .map(r => (conv, r.segment, r.first, r.nLines, r.text))
       }
       // restore the INPUT's conv/order column types (the typed FSM ran
       // over strings/longs) so FSM and window modes emit one schema
@@ -254,10 +212,114 @@ object AggOps {
         discardUnmatched = discardUnmatched)
   }
 
+  /** The full reference multiline automaton as a resumable stepper —
+    * one transition function over (state, line) covering ALL five valid
+    * pattern combinations, so a STREAM can carry the open chunk across
+    * micro-batches (`streaming/StreamingMultiline`) with semantics
+    * identical to the batch scan.
+    * Reference: `ProcessorSplitMultilineLogStringNative.cpp:130-295`. */
+  private[graft] final case class MultilineFsm(
+      startPattern: Option[String],
+      continuePattern: Option[String],
+      endPattern: Option[String],
+      discardUnmatched: Boolean) {
+    // reference config normalization (MultilineOptions.cpp:126-158)
+    val (sOpt, cOpt, eOpt) =
+      (startPattern, continuePattern, endPattern) match {
+        case (Some(s), Some(_), Some(e)) => (Some(s), None, Some(e))
+        case (None, Some(_), None)       => (None, None, None)
+        case other                       => other
+      }
+    @transient private lazy val sRe = sOpt.map(java.util.regex.Pattern.compile)
+    @transient private lazy val cRe = cOpt.map(java.util.regex.Pattern.compile)
+    @transient private lazy val eRe = eOpt.map(java.util.regex.Pattern.compile)
+    private def m(p: Option[java.util.regex.Pattern], t: String): Boolean =
+      p.exists(_.matcher(if (t == null) "" else t).find())
+
+    def initial: MultilineState =
+      MultilineState(Vector.empty, Vector.empty,
+        partial = sOpt.isEmpty && cOpt.isEmpty && eOpt.nonEmpty, 1L)
+
+    /** Feed ordered lines; returns emitted records + carry-over state. */
+    def run(st0: MultilineState, lines: Iterator[(Long, String)])
+        : (Vector[MultilineRec], MultilineState) = {
+      var st = st0
+      val out = Vector.newBuilder[MultilineRec]
+      def matched(): Unit = {
+        out += MultilineRec(st.nextSeg, st.idxs.head, st.idxs.length.toLong,
+          st.txts.map(t => if (t == null) "" else t).mkString("\n"))
+        st = st.copy(idxs = Vector.empty, txts = Vector.empty,
+          nextSeg = st.nextSeg + 1)
+      }
+      def unmatched(): Unit = {
+        if (!discardUnmatched) st.idxs.zip(st.txts).foreach { case (i, t) =>
+          out += MultilineRec(-i - 1, i, 1L, if (t == null) "" else t)
+        }
+        st = st.copy(idxs = Vector.empty, txts = Vector.empty)
+      }
+      def add(i: Long, t: String): Unit =
+        st = st.copy(idxs = st.idxs :+ i, txts = st.txts :+ t)
+      lines.foreach { case (idx, text) =>
+        if (!st.partial) {
+          if (m(sRe, text) || (sRe.isEmpty && m(cRe, text))) {
+            add(idx, text); st = st.copy(partial = true)
+          } else if (sRe.isEmpty && cRe.nonEmpty && m(eRe, text)) {
+            add(idx, text); matched() // lone END line in continue+end
+          } else { add(idx, text); unmatched() }
+        } else if (cRe.nonEmpty && m(cRe, text)) {
+          add(idx, text) // continue appends
+        } else if (eRe.nonEmpty) {
+          if (cRe.nonEmpty) { // continue+end: end decides the chunk
+            add(idx, text)
+            if (m(eRe, text)) matched() else unmatched()
+            st = st.copy(partial = false)
+          } else if (m(eRe, text)) { // start+end / end-only
+            add(idx, text); matched()
+            if (sRe.nonEmpty) st = st.copy(partial = false)
+          } else add(idx, text) // accumulate until end
+        } else if (cRe.isEmpty) { // start-only
+          if (m(sRe, text)) { matched(); add(idx, text) }
+          else add(idx, text)
+        } else { // start+continue: a non-continue line closes the record
+          matched()
+          if (m(sRe, text)) add(idx, text)
+          else { add(idx, text); unmatched(); st = st.copy(partial = false) }
+        }
+      }
+      (out.result(), st)
+    }
+
+    /** EOF/timeout flush of an open chunk (batch end-of-conversation or
+      * streaming idle timeout): matched when no end pattern is
+      * configured, unmatched-per-line otherwise (cpp:289-307). */
+    def flush(st0: MultilineState): Vector[MultilineRec] = {
+      var st = st0
+      val out = Vector.newBuilder[MultilineRec]
+      if (st.partial && st.idxs.nonEmpty) {
+        if (eOpt.isEmpty)
+          out += MultilineRec(st.nextSeg, st.idxs.head, st.idxs.length.toLong,
+            st.txts.map(t => if (t == null) "" else t).mkString("\n"))
+        else if (!discardUnmatched)
+          st.idxs.zip(st.txts).foreach { case (i, t) =>
+            out += MultilineRec(-i - 1, i, 1L, if (t == null) "" else t)
+          }
+      }
+      out.result()
+    }
+  }
+
   /** Time-window counts via `window()` (streaming-compatible shape). */
   def windowCounts(df: DataFrame, duration: String = "5 minutes"): DataFrame =
     df.groupBy(window(col("ts"), duration), col("tool"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("tool"), col("n"))
+
+  /** Open-chunk carry-over of [[MultilineFsm]] — top-level so streaming
+    * state Encoders work (no path-dependent inner types). */
+  final case class MultilineState(idxs: Seq[Long], txts: Seq[String],
+      partial: Boolean, nextSeg: Long)
+  /** One emitted multiline record. */
+  final case class MultilineRec(segment: Long, first: Long, nLines: Long,
+      text: String)
 }

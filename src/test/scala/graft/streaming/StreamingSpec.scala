@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
+import graft.ops.AggOps
 import graft.pipeline.TranscriptPipeline
 import graft.sink.TableIO
 import graft.sources.Transcripts
@@ -145,6 +146,59 @@ class StreamingSpec extends AnyFunSuite {
         limit = 1, periodSeconds = 3600, tieBreak = Seq("turn_idx"))
       .select("text").collect().map(_.getString(0)).toSet
     assert(keptTool.intersect(Set("k3", "k4")) == Set("k3", "k4"))
+  }
+
+  test("streaming multiline: an open record carries across micro-batches until its close") {
+    val mem = MemoryStream[(String, Long, String)](spark)
+    val lines = mem.toDF().toDF("__source__", "line_no", "text")
+    val q = StreamingMultiline(lines,
+      startPattern = Some("^java\\.lang"), continuePattern = Some("^\\tat "))
+      .writeStream.format("memory").queryName("sml")
+      .outputMode("append").start()
+    // batch 1 opens a record mid-stack: nothing may be emitted yet
+    mem.addData(("f1", 0L, "boot ok"), ("f1", 1L, "java.lang.Error: x"),
+      ("f1", 2L, "\tat A.a(A.java:1)"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sml").collect()
+      .map(_.getAs[String]("merged_text")).toSet
+    assert(afterB1 == Set("boot ok")) // only the unmatched prefix line
+    // batch 2 continues then closes the record with a non-continue line
+    mem.addData(("f1", 3L, "\tat B.b(B.java:2)"), ("f1", 4L, "done"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sml").collect()
+      .map(r => (r.getLong(1), r.getAs[String]("merged_text"))).toSet
+    assert(all.contains(
+      (1L, "java.lang.Error: x\n\tat A.a(A.java:1)\n\tat B.b(B.java:2)")))
+    assert(all.map(_._2).contains("done")) // closing line unmatched
+    assert(all.map(_._2).contains("boot ok"))
+  }
+
+  test("streaming multiline matches the batch operator on the same lines (no drift)") {
+    val rows = Seq(
+      ("s1", 0L, "java.lang.Error: a"), ("s1", 1L, "\tat X.x(X.java:1)"),
+      ("s1", 2L, "plain"), ("s1", 3L, "java.lang.Error: b"),
+      ("s2", 0L, "orphan"))
+    val s = spark; import s.implicits._
+    val batchOut = AggOps.MultilineMerge(
+      startPattern = Some("^java\\.lang"), continuePattern = Some("^\\tat "),
+      convCol = "__source__", orderCol = "line_no")(
+      rows.toDF("__source__", "line_no", "text"))
+      .collect().map(r => (r.getString(0), r.getAs[String]("merged_text"))).toSet
+    val mem = MemoryStream[(String, Long, String)](spark)
+    val q = StreamingMultiline(mem.toDF().toDF("__source__", "line_no", "text"),
+      startPattern = Some("^java\\.lang"), continuePattern = Some("^\\tat "))
+      .writeStream.format("memory").queryName("sml_ab")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val streamOut = spark.table("sml_ab").collect()
+      .map(r => (r.getString(0), r.getAs[String]("merged_text"))).toSet
+    // the still-open record ("java.lang.Error: b") is the only delta:
+    // batch flushes at EOF, the stream keeps it pending
+    assert(batchOut -- streamOut ==
+      Set(("s1", "java.lang.Error: b")))
+    assert(streamOut.subsetOf(batchOut))
   }
 
   test("token bucket: kill + restart from checkpoint restores state; replay order-independent") {
