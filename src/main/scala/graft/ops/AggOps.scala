@@ -240,21 +240,41 @@ object AggOps {
       MultilineState(Vector.empty, Vector.empty,
         partial = sOpt.isEmpty && cOpt.isEmpty && eOpt.nonEmpty, 1L)
 
+    /** No multiline configured (after normalization)? Each line is its
+      * own MATCHED record — the reference's "ignore multiline config"
+      * path and the batch operator's passThrough. */
+    val disabled: Boolean = sOpt.isEmpty && cOpt.isEmpty && eOpt.isEmpty
+
+    private def nn(t: String): String = if (t == null) "" else t
+
+    /** The single matched-record constructor (chunk → record). */
+    private def matchedRec(st: MultilineState): MultilineRec =
+      MultilineRec(st.nextSeg, st.idxs.head, st.idxs.length.toLong,
+        st.txts.map(nn).mkString("\n"))
+
+    /** The single unmatched-lines constructor (SINGLE_LINE treatment). */
+    private def unmatchedRecs(st: MultilineState): Seq[MultilineRec] =
+      if (discardUnmatched) Nil
+      else st.idxs.zip(st.txts).map { case (i, t) =>
+        MultilineRec(-i - 1, i, 1L, nn(t))
+      }
+
     /** Feed ordered lines; returns emitted records + carry-over state. */
     def run(st0: MultilineState, lines: Iterator[(Long, String)])
         : (Vector[MultilineRec], MultilineState) = {
+      if (disabled)
+        return (lines.map { case (i, t) =>
+          MultilineRec(i + 1, i, 1L, nn(t))
+        }.toVector, st0)
       var st = st0
       val out = Vector.newBuilder[MultilineRec]
       def matched(): Unit = {
-        out += MultilineRec(st.nextSeg, st.idxs.head, st.idxs.length.toLong,
-          st.txts.map(t => if (t == null) "" else t).mkString("\n"))
+        out += matchedRec(st)
         st = st.copy(idxs = Vector.empty, txts = Vector.empty,
           nextSeg = st.nextSeg + 1)
       }
       def unmatched(): Unit = {
-        if (!discardUnmatched) st.idxs.zip(st.txts).foreach { case (i, t) =>
-          out += MultilineRec(-i - 1, i, 1L, if (t == null) "" else t)
-        }
+        out ++= unmatchedRecs(st)
         st = st.copy(idxs = Vector.empty, txts = Vector.empty)
       }
       def add(i: Long, t: String): Unit =
@@ -291,21 +311,21 @@ object AggOps {
 
     /** EOF/timeout flush of an open chunk (batch end-of-conversation or
       * streaming idle timeout): matched when no end pattern is
-      * configured, unmatched-per-line otherwise (cpp:289-307). */
-    def flush(st0: MultilineState): Vector[MultilineRec] = {
-      var st = st0
-      val out = Vector.newBuilder[MultilineRec]
+      * configured, unmatched-per-line otherwise (cpp:289-307). Returns
+      * the post-flush state so a stream preserves the segment counter
+      * across idle-timeout flushes (segment ids must stay unique per
+      * key). */
+    def flushWithState(st: MultilineState)
+        : (Vector[MultilineRec], MultilineState) =
       if (st.partial && st.idxs.nonEmpty) {
         if (eOpt.isEmpty)
-          out += MultilineRec(st.nextSeg, st.idxs.head, st.idxs.length.toLong,
-            st.txts.map(t => if (t == null) "" else t).mkString("\n"))
-        else if (!discardUnmatched)
-          st.idxs.zip(st.txts).foreach { case (i, t) =>
-            out += MultilineRec(-i - 1, i, 1L, if (t == null) "" else t)
-          }
-      }
-      out.result()
-    }
+          (Vector(matchedRec(st)),
+            initial.copy(nextSeg = st.nextSeg + 1))
+        else (unmatchedRecs(st).toVector, initial.copy(nextSeg = st.nextSeg))
+      } else (Vector.empty, initial.copy(nextSeg = st.nextSeg))
+
+    def flush(st: MultilineState): Vector[MultilineRec] =
+      flushWithState(st)._1
   }
 
   /** Time-window counts via `window()` (streaming-compatible shape). */

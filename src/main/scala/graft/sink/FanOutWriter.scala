@@ -116,7 +116,8 @@ final case class FanOutWriter(
     val partitionPathKnown = extraPartCols.forall(extraPartValues.contains)
     if (partitionPathKnown)
       io.deletePartitions(spark, table, allBuckets,
-        subdirs = extraPartCols.map(c => s"$c=${extraPartValues(c)}"))
+        subdirs = extraPartCols.map(c =>
+          c -> String.valueOf(extraPartValues(c))))
 
     io.overwritePartitions(clustered, table, partCols)
     // Lineage from the WRITTEN table, not from the input plan: reading
@@ -136,8 +137,14 @@ final case class FanOutWriter(
         val extras = extraPartValues.foldLeft(lit(true)) {
           case (acc, (c, v)) => acc && col(c) === v
         }
+        // only the empty-write schema-inference failure is expected;
+        // any other read error must stay loud (a swallowed corrupt
+        // footer would silently record zero lineage)
         try io.read(spark, table).where(attempted && extras)
-        catch { case _: Exception => clustered.limit(0) }
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            clustered.limit(0)
+        }
       } else clustered
     // attempted-but-empty partitions get zero-row lineage so resume
     // marks them complete instead of re-attempting forever

@@ -75,12 +75,12 @@ final case class TableIO(root: String,
   def deletePartitions(spark: SparkSession, table: String,
       pairs: Seq[(String, Int)],
       sinkCol: String = "__sink__", bucketCol: String = "__bucket__",
-      subdirs: Seq[String] = Nil): Unit = {
+      subdirs: Seq[(String, String)] = Nil): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val conf = spark.sparkContext.hadoopConfiguration
     pairs.foreach { case (s, b) =>
       val parts = Seq(s"$sinkCol=${escapePathName(s)}", s"$bucketCol=$b") ++
-        subdirs
+        subdirs.map { case (c, v) => s"$c=${escapePathName(v)}" }
       val target = new org.apache.hadoop.fs.Path(
         (path(table) +: parts).mkString("/"))
       val fs = target.getFileSystem(conf)

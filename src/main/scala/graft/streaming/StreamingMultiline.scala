@@ -62,9 +62,13 @@ object StreamingMultiline {
       (key: String, rows: Iterator[(String, Long, String)],
           state: GroupState[MultilineState]) =>
         if (state.hasTimedOut) {
-          // idle-key flush: emit the open chunk per the EOF rule
-          val recs = state.getOption.toVector.flatMap(stepper.flush)
-          state.remove()
+          // idle-key flush: emit the open chunk per the EOF rule. The
+          // post-flush state (empty chunk, ADVANCED segment counter) is
+          // kept so segment ids stay unique per key across flushes.
+          val (recs, st1) = state.getOption
+            .map(stepper.flushWithState)
+            .getOrElse((Vector.empty, stepper.initial))
+          state.update(st1)
           recs.iterator.map(r => (key, r.segment, r.first, r.nLines, r.text))
         } else {
           val st0 = state.getOption.getOrElse(stepper.initial)

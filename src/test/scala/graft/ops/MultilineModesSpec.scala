@@ -92,6 +92,25 @@ class MultilineModesSpec extends AnyFunSuite {
     assert(lone.forall(_._1 > 0))
   }
 
+  test("fsm stepper: flush preserves the segment counter; disabled mode passes through") {
+    val f = AggOps.MultilineFsm(Some(sRx), None, None, discardUnmatched = false)
+    val (r1, st1) = f.run(f.initial, Iterator((0L, B), (1L, C)))
+    assert(r1.isEmpty) // record still open
+    val (fl1, st2) = f.flushWithState(st1)
+    assert(fl1.map(_.segment) == Vector(1L))
+    // a later record on the same key must NOT reuse segment 1
+    val (r2, st3) = f.run(st2, Iterator((2L, B), (3L, C)))
+    assert(r2.isEmpty)
+    val (fl2, _) = f.flushWithState(st3)
+    assert(fl2.map(_.segment) == Vector(2L))
+    // lone continue -> multiline disabled: each line its own MATCHED
+    // record even under DISCARD (nothing is "unmatched")
+    val d = AggOps.MultilineFsm(None, Some(cRx), None, discardUnmatched = true)
+    val (rd, _) = d.run(d.initial, Iterator((0L, C), (1L, U)))
+    assert(rd.map(r => (r.segment, r.text)) ==
+      Vector((1L, C), (2L, U)))
+  }
+
   test("fsm and window modes emit the same schema (conv/order types preserved)") {
     val s = spark; import s.implicits._
     // numeric conv ids: the FSM's internal string grouping must not leak
