@@ -316,6 +316,55 @@ object SparkEntry {
         ivHex = "000102030405060708090a0b0c0d0e0f")(transcripts(s, dir))
         .select(col("conv_id"), col("turn_idx"), col("text").as("text_enc"))
     },
+    "encrypt_roundtrip" -> { (s, dir) =>
+      // hash-verifiable encryption evidence: encrypt → decrypt → md5
+      // must equal DuckDB's md5 of the plaintext
+      val enc = FieldOps.Encrypt("text",
+        keyHex = "00112233445566778899aabbccddeeff",
+        ivHex = "000102030405060708090a0b0c0d0e0f")(transcripts(s, dir))
+      FieldOps.Decrypt("text", keyHex = "00112233445566778899aabbccddeeff",
+        destKey = Some("text_rt"))(enc)
+        .select(col("conv_id"), col("turn_idx"),
+          md5(col("text_rt").cast("binary")).as("rt_md5"))
+    },
+
+    // -- container stdout parse (§2.2; k8s CRI + docker json-file) ----------
+    "container_cri" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m5 = pmod(col("turn_idx"), lit(5))
+      val raw = t.withColumn("line",
+        when(m5 === 4, col("text")) // not CRI-shaped → parse failure
+          .otherwise(concat(
+            lit("2025-01-01T00:00:"),
+            lpad(pmod(col("turn_idx"), lit(60)).cast("string"), 2, "0"),
+            lit("Z "),
+            when(pmod(col("turn_idx"), lit(2)) === 0, "stdout")
+              .otherwise("stderr"),
+            lit(" "),
+            when(m5 === 0, "P ").when(m5.isin(1, 3), "F ").otherwise(""),
+            col("text"))))
+      val parsed = ContainerOps.CriParser("line",
+        keepingSourceWhenParseFail = false)(raw)
+      ContainerOps.mergeByFlag(parsed)
+        .select("conv_id", "record", "first_turn", "n_lines",
+          "time_first", "source", "content")
+    },
+    "container_docker" -> { (s, dir) =>
+      // kv-format lines carry no JSON-special chars, so the constructed
+      // docker json-file line needs no escaping
+      val t = transcripts(s, dir).filter(col("text").rlike("^tool="))
+      val raw = t.withColumn("line",
+        when(pmod(col("turn_idx"), lit(7)) === 3, col("text")) // invalid
+          .otherwise(concat(lit("{\"log\":\""), col("text"),
+            lit("\\n\",\"stream\":\""),
+            when(pmod(col("turn_idx"), lit(2)) === 0, "stdout")
+              .otherwise("stderr"),
+            lit("\",\"time\":\"2025-01-01T00:00:00Z\"}"))))
+      ContainerOps.DockerJsonParser("line",
+        keepingSourceWhenParseFail = false)(raw)
+        .select(col("conv_id"), col("turn_idx"), col("_time_").as("dtime"),
+          col("_source_").as("stream"), col("content"))
+    },
 
     // -- training-data ops (prompt: dedup / text analysis / similarity) ------
     "dedup_exact" -> { (s, dir) =>
@@ -750,6 +799,56 @@ object SparkEntry {
            array_to_string(list_sort(str_split(
              tool || '#$#t|' || role || '#$#r' || '|zz#$#9', '|')), '|') AS labels
            FROM transcripts"""),
+
+      "encrypt_roundtrip" -> withCte(
+        """SELECT conv_id, turn_idx, md5(text) AS rt_md5 FROM transcripts"""),
+
+      "container_cri" -> withCte(
+        """, raw AS (
+             SELECT conv_id, turn_idx,
+               CASE WHEN mod(turn_idx, 5) = 4 THEN text
+                    ELSE concat('2025-01-01T00:00:',
+                      lpad(cast(mod(turn_idx, 60) AS VARCHAR), 2, '0'), 'Z ',
+                      CASE WHEN mod(turn_idx, 2) = 0 THEN 'stdout' ELSE 'stderr' END, ' ',
+                      CASE WHEN mod(turn_idx, 5) = 0 THEN 'P '
+                           WHEN mod(turn_idx, 5) IN (1, 3) THEN 'F '
+                           ELSE '' END,
+                      text) END AS line
+             FROM transcripts),
+           flagged AS (
+             SELECT conv_id, turn_idx,
+               regexp_extract(line, '^([^ ]*) (stdout|stderr) (?:([PF]) )?(.*)$', 1) AS t,
+               regexp_extract(line, '^([^ ]*) (stdout|stderr) (?:([PF]) )?(.*)$', 2) AS src,
+               regexp_extract(line, '^([^ ]*) (stdout|stderr) (?:([PF]) )?(.*)$', 3) = 'P' AS partial,
+               regexp_extract(line, '^([^ ]*) (stdout|stderr) (?:([PF]) )?(.*)$', 4) AS body
+             FROM raw WHERE regexp_matches(line, '^([^ ]*) (stdout|stderr) (?:([PF]) )?(.*)$')),
+           rec AS (
+             SELECT *, cast(coalesce(sum(CASE WHEN partial THEN 0 ELSE 1 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS record
+             FROM flagged)
+           SELECT conv_id, record, min(turn_idx) AS first_turn,
+             count(*) AS n_lines,
+             min_by(t, turn_idx) AS time_first,
+             min_by(src, turn_idx) AS source,
+             string_agg(body, '' ORDER BY turn_idx) AS content
+           FROM rec GROUP BY 1, 2"""),
+
+      "container_docker" -> withCte(
+        """, kv AS (
+             SELECT conv_id, turn_idx, text FROM transcripts
+             WHERE regexp_matches(text, '^tool=')),
+           raw AS (
+             SELECT conv_id, turn_idx,
+               concat('{"log":"', text, '\n","stream":"',
+                 CASE WHEN mod(turn_idx, 2) = 0 THEN 'stdout' ELSE 'stderr' END,
+                 '","time":"2025-01-01T00:00:00Z"}') AS line
+             FROM kv WHERE mod(turn_idx, 7) <> 3)
+           SELECT conv_id, turn_idx,
+             json_extract_string(line, '$.time') AS dtime,
+             json_extract_string(line, '$.stream') AS stream,
+             regexp_replace(json_extract_string(line, '$.log'), '\n$', '') AS content
+           FROM raw"""),
 
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies,

@@ -128,15 +128,17 @@ object Grok {
     * (compile-at-Init; alias types int/long/float/double/bool). */
   def compileIndexed(pattern: String, custom: Map[String, String] = Map.empty)
       : (String, Seq[(String, Option[String], Int)]) = {
-    val dict = defaultPatterns ++ custom
-    // normalize Go named-group spelling; pick a marker prefix that
-    // cannot collide with a user-written group name ANYWHERE the
-    // expansion can reach — the pattern itself or a dictionary body
-    // (decapture leaves named groups intact, so a custom pattern like
-    // "(?<gk0>x)" would otherwise shadow a marker)
+    // normalize Go named-group spelling EVERYWHERE the expansion can
+    // reach — the top-level pattern AND every dictionary body (a custom
+    // pattern may itself contain `(?P<x>...)`, which Java regex rejects;
+    // the Go grok dialect accepts it in custom patterns)
+    val dict = (defaultPatterns ++ custom)
+      .map { case (k, v) => k -> v.replace("(?P<", "(?<") }
+    // pick a marker prefix that cannot collide with a user-written group
+    // name ANYWHERE (decapture leaves named groups intact, so a custom
+    // pattern like "(?<gk0>x)" would otherwise shadow a marker)
     val pre = pattern.replace("(?P<", "(?<")
     val nameCorpus = (pre +: dict.values.toSeq).mkString(" ")
-      .replace("(?P<", "(?<")
     var pfx = "gk"
     while (nameCorpus.contains("?<" + pfx)) pfx += "z"
     val markers = mutable.Map.empty[String, (String, Option[String])]

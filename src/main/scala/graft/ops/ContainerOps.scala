@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Container stdout/stderr parsing — the single most common real-world
+  * input shape for the reference collector (every k8s node): containerd
+  * CRI text lines and Docker json-file lines, plus the partial-line
+  * ("P"/"F" flag) merge.
+  *
+  * Reference: `core/plugin/processor/inner/
+  * ProcessorParseContainerLogNative.cpp:180-256` (CRI),
+  * `:425-520` (docker json), and the flag-merge
+  * `ProcessorMergeMultilineLogNative.cpp:112-159` (MergeLogsByFlag).
+  * Both parsers are pure Catalyst projections; the merge is two window
+  * prefix-sums + one hash aggregation — fully distributed, no FSM needed
+  * (a record boundary is any non-partial line, locally decidable).
+  */
+object ContainerOps {
+
+  /** Output keys, matching the reference's field names
+    * (ProcessorParseContainerLogNative.cpp:42-44). */
+  val TimeKey = "_time_"
+  val SourceKey = "_source_"
+  val ContentKey = "content"
+  /** Carries the reference's `P` flag as a boolean column (the
+    * reference stores an empty `P` content entry and group metadata). */
+  val PartialKey = "__partial__"
+
+  /** Containerd CRI text: `time SP stream SP [P|F SP] content`.
+    *
+    * Faithful corner cases (cpp:180-256):
+    *  - no 2nd space, or stream ∉ {stdout, stderr} → parse failure
+    *    (row kept with null fields iff `keepingSourceWhenParseFail`,
+    *    else dropped);
+    *  - the P/F flag only counts when it is a SINGLE char followed by a
+    *    space ("…stdout P" → content "P"; "…stdout PP 1" → content
+    *    "PP 1");
+    *  - `F` closes, `P` marks the row partial (merged by
+    *    [[mergeByFlag]]);
+    *  - `ignoringStdout` / `ignoringStderr` drop successfully-parsed
+    *    rows of that stream.
+    */
+  final case class CriParser(
+      sourceKey: String = "text",
+      ignoringStdout: Boolean = false,
+      ignoringStderr: Boolean = false,
+      keepingSourceWhenParseFail: Boolean = true) {
+
+    /** One anchored pass; the optional-flag group participates only for
+      * a lone P/F token followed by a space. */
+    val regex = "^([^ ]*) (stdout|stderr) (?:([PF]) )?(.*)$"
+
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val ok = src.isNotNull && src.rlike(regex)
+      // one regexp pass packs all 4 groups (N regexp_extract calls = N
+      // full matches — CLAUDE.md lesson); delimiter-containing content
+      // falls back to per-group extraction
+      val repl = (1 to 4).map("$" + _).mkString("\u0001")
+      val packed = when(!src.contains("\u0001"),
+        split(regexp_replace(src, regex, repl), "\u0001", -1))
+        .otherwise(array((1 to 4).map(i => regexp_extract(src, regex, i)): _*))
+      val g = "__cri_groups__"
+      val parsed = df
+        .withColumn(g, when(ok, packed))
+        .withColumn(TimeKey, element_at(col(g), 1))
+        .withColumn(SourceKey, element_at(col(g), 2))
+        .withColumn(PartialKey,
+          coalesce(element_at(col(g), 3) === "P", lit(false)))
+        .withColumn(ContentKey, element_at(col(g), 4))
+        .drop(g)
+      val kept =
+        if (keepingSourceWhenParseFail) parsed
+        else parsed.filter(ok)
+      val noOut = if (ignoringStdout)
+        kept.filter(!(col(SourceKey) <=> lit("stdout"))) else kept
+      if (ignoringStderr)
+        noOut.filter(!(col(SourceKey) <=> lit("stderr"))) else noOut
+    }
+  }
+
+  /** Docker json-file line: `{"log":…,"stream":…,"time":…}`.
+    *
+    * The reference hand-parses exactly these three fields with JSON
+    * unescaping (cpp:355-465); `from_json` reproduces that. A complete
+    * docker line carries ONE trailing `\n` in `log`, stripped
+    * (cpp:512-515). Invalid object / missing field / stream ∉
+    * {stdout, stderr} → parse failure, same keep/drop contract as CRI.
+    */
+  final case class DockerJsonParser(
+      sourceKey: String = "text",
+      ignoringStdout: Boolean = false,
+      ignoringStderr: Boolean = false,
+      keepingSourceWhenParseFail: Boolean = true) {
+
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val g = "__dj__"
+      // materialized once (CollapseProject keeps multi-use non-cheap
+      // projections single-eval behind a named column)
+      val parsed = df.withColumn(g,
+        from_json(src, org.apache.spark.sql.types.StructType.fromDDL(
+          "log string, stream string, time string")))
+      val pv = col(g)
+      val ok = src.isNotNull && src.rlike("^\\{") && src.rlike("\\}$") &&
+        pv.getField("log").isNotNull &&
+        pv.getField("time").isNotNull &&
+        pv.getField("stream").isin("stdout", "stderr")
+      val out = parsed
+        .withColumn(TimeKey, when(ok, pv.getField("time")))
+        .withColumn(SourceKey, when(ok, pv.getField("stream")))
+        .withColumn(ContentKey,
+          when(ok, regexp_replace(pv.getField("log"), "\\n$", "")))
+        .drop(g)
+      val kept =
+        if (keepingSourceWhenParseFail) out
+        else out.filter(ok)
+      val noOut = if (ignoringStdout)
+        kept.filter(!(col(SourceKey) <=> lit("stdout"))) else kept
+      if (ignoringStderr)
+        noOut.filter(!(col(SourceKey) <=> lit("stderr"))) else noOut
+    }
+  }
+
+  /** Merge partial lines by flag (MergeLogsByFlag, cpp:112-159): a run
+    * of partial rows plus the FIRST following full row is one record —
+    * contents concatenated WITHOUT a separator (partials are split
+    * mid-line, MergeEvents called with insertLineBreak=false); a
+    * trailing partial run at end-of-source still merges. Time/stream of
+    * the record = the first line's.
+    *
+    * Distributed shape: the record id is a prefix sum (number of FULL
+    * rows strictly before the current row in (keyCol, orderCol) order),
+    * so the whole merge is one window + one hash aggregation — no
+    * sequential state, safe at any scale.
+    */
+  def mergeByFlag(df: DataFrame,
+      keyCol: String = "conv_id",
+      orderCol: String = "turn_idx",
+      contentCol: String = ContentKey,
+      partialCol: String = PartialKey): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rec = coalesce(
+      sum(when(col(partialCol), 0).otherwise(1)).over(w), lit(0L))
+    df.withColumn("__rec__", rec)
+      .groupBy(col(keyCol), col("__rec__").as("record"))
+      .agg(
+        min(col(orderCol)).as("first_turn"),
+        count(lit(1)).as("n_lines"),
+        min_by(col(TimeKey), col(orderCol)).as("time_first"),
+        min_by(col(SourceKey), col(orderCol)).as("source"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(orderCol).as("i"),
+            col(contentCol).as("c")))),
+          x => x.getField("c")), "").as(contentCol))
+  }
+}

@@ -189,7 +189,23 @@ object DedupOps {
     *
     * Returns (id, component, keep). */
   def resolveDuplicates(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 10): DataFrame =
+    resolveDuplicatesDetailed(pairs, aCol, bCol, maxIter)._1
+
+  /** [[resolveDuplicates]] plus an explicit `converged` flag: `false`
+    * means the loop exited via `maxIter` with labels still moving — a
+    * component whose graph diameter exceeds `maxIter` would otherwise
+    * SILENTLY resolve into several components (extra keep=true
+    * survivors). Callers that must not over-keep should raise `maxIter`
+    * (or pre-densify candidate pairs) when this comes back false.
+    *
+    * `checkpointEvery` truncates plan lineage with `localCheckpoint`
+    * every k iterations: the iterative join otherwise grows the logical
+    * plan linearly and per-iteration analysis cost comes to dominate at
+    * high iteration counts on a real cluster. */
+  def resolveDuplicatesDetailed(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 10,
+      checkpointEvery: Int = 5): (DataFrame, Boolean) = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .distinct().cache()
     var labels = edges.select(col("u").as("id"))
@@ -205,10 +221,14 @@ object DedupOps {
       val msgs = withLabels.select(col("u").as("id"), col("cand"))
         .union(withLabels.select(col("v").as("id"), col("cand")))
         .groupBy("id").agg(min(col("cand")).as("cand"))
-      val next = labels.join(msgs, Seq("id"), "left")
+      val nextRaw = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
-        .cache()
+      // localCheckpoint every k generations cuts the accumulated plan;
+      // cache() in between keeps the per-iteration cost one shuffle
+      val next =
+        if ((iter + 1) % checkpointEvery == 0) nextRaw.localCheckpoint()
+        else nextRaw.cache()
       next.count() // fully materialize BEFORE dropping the parent cache
       val changed = next.join(labels.select(col("id"),
           col("comp").as("prev")), "id")
@@ -219,7 +239,11 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
-    labels.withColumn("keep", col("comp") === col("id"))
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"resolveDuplicates exited at maxIter=$maxIter without converging; " +
+          "components with diameter > maxIter are split (extra survivors)")
+    (labels.withColumn("keep", col("comp") === col("id")), converged)
   }
 
   /** SimHash document sketch: each token votes ±1 on `bits` bit

@@ -182,6 +182,17 @@ object FieldOps {
           lit("CBC"), lit("PKCS"), unhex(lit(ivHex)), lit("".getBytes))))
   }
 
+  /** Inverse of [[Encrypt]] (the consumer side of the reference's
+    * encrypted sink): base64 → AES-CBC decrypt → string. CBC ciphertext
+    * carries its IV in the leading block, so no IV parameter. */
+  final case class Decrypt(sourceKey: String, keyHex: String,
+      destKey: Option[String] = None) {
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(destKey.getOrElse(sourceKey),
+        aes_decrypt(unbase64(col(sourceKey)), unhex(lit(keyHex)),
+          lit("CBC"), lit("PKCS"), lit("".getBytes)).cast(StringType))
+  }
+
   /** Append a constant to an existing key, with `{{...}}` template
     * expansion at PLAN time (reference expands at Init,
     * `processor_appender.go:49-63,117-134`): `{{$NAME}}` → environment

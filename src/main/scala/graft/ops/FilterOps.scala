@@ -141,16 +141,32 @@ object FilterOps {
       limit: Int,
       tsCol: String = "ts",
       bucket: String = "1 second",
-      tieBreak: Seq[String] = Seq.empty) {
+      tieBreak: Seq[String] = Seq.empty,
+      // skew control: `fields` are typically LOW-cardinality (the
+      // reference rate-limits per label set), so one (bucket, fields)
+      // window partition would hold ALL matching rows — a full sort of
+      // the hot group on one task. Phase 1 spreads each group over
+      // `saltBuckets` deterministic sub-partitions and keeps the per-salt
+      // top-`limit`; phase 2 exactly re-ranks the ≤ saltBuckets·limit
+      // survivors. Any global top-limit row is inside its salt's
+      // top-limit, so the two-phase result is EXACTLY the single-window
+      // result. 1 disables salting.
+      saltBuckets: Int = 32) {
     def apply(df: DataFrame): DataFrame = {
       val bucketCol = window(col(tsCol), bucket).getField("start")
       val orderCols = (col(tsCol) +: tieBreak.map(col)): Seq[Column]
-      val w = Window
-        .partitionBy((bucketCol +: fields.map(col)): _*)
-        .orderBy(orderCols: _*)
-      df.withColumn("__rl_rn__", row_number().over(w))
-        .filter(col("__rl_rn__") <= limit)
-        .drop("__rl_rn__")
+      def ranked(d: DataFrame, extra: Seq[Column]): DataFrame = {
+        val w = Window
+          .partitionBy((bucketCol +: fields.map(col)) ++ extra: _*)
+          .orderBy(orderCols: _*)
+        d.withColumn("__rl_rn__", row_number().over(w))
+          .filter(col("__rl_rn__") <= limit)
+          .drop("__rl_rn__")
+      }
+      val survivors =
+        if (saltBuckets <= 1) df
+        else ranked(df, Seq(pmod(xxhash64(orderCols: _*), lit(saltBuckets))))
+      ranked(survivors, Nil)
     }
   }
 }

@@ -49,7 +49,12 @@ object RouteOps {
       if (dropDisMatch) routed.filter(col(sinkCol).isNotNull) else routed
     }
 
-    /** The per-sink split (for sink-specific pipelines). */
+    /** The per-sink split (for sink-specific TEST pipelines). CACHES the
+      * full routed DataFrame so the per-sink filters share one pass —
+      * fine at test scale, but at 100 TB callers must use the
+      * single-pass `FanOutWriter` / `MulticastRouter.explodeSinks`
+      * partitioned-write path instead of materializing the corpus in
+      * cache. */
     def split(df: DataFrame): Map[String, DataFrame] = {
       val routed = apply(df).cache()
       val sinks = rules.map(_.sink) ++ (if (dropDisMatch) Nil else Seq(defaultSink))

@@ -101,58 +101,119 @@ object SimilarityOps {
     * assigns every vector to its best cell; a query probes only its
     * `nprobe` best cells and reranks exactly.
     *
-    * The quantizer here is sampled (the `nlist` lowest-id vectors act
-    * as centroids) rather than k-means-trained — deterministic, which
-    * is what the cross-engine verification needs; swapping in trained
-    * centroids changes only the `centroids` method. Centroids live as
-    * PLAN-TIME literal arrays (the broadcast-dict pattern: nlist ≈ √N
-    * stays driver-size even at 10^9 vectors), so cell assignment is a
-    * per-row codegen'd expression and the index write is just
-    * `partitionBy(cell)` — a query then scans nprobe partitions, not
-    * the corpus.
+    * The default quantizer is sampled (the `nlist` lowest-id vectors act
+    * as centroids) — deterministic, which is what the cross-engine
+    * verification needs; [[trainCentroids]] refines them with Lloyd
+    * iterations (each one a broadcast join + two DataFrame
+    * aggregations). Centroids travel as a BROADCAST DATAFRAME and cell
+    * assignment is one broadcast join + `max_by` aggregation — NOT a
+    * plan-time literal expression, which at the 100 TB target
+    * (nlist ≈ √N ≈ 30k for 10⁹ vectors) would be a multi-million-node
+    * expression tree blowing JIT method-size limits and planner memory.
+    * Data is a DataFrame; only the plan must stay O(1) in nlist. The
+    * index write is `partitionBy(cell)` — a query then scans nprobe
+    * partitions, not the corpus.
     */
   final case class IvfIndex(nlist: Int = 16, nprobe: Int = 4) {
 
-    /** Deterministic sampled centroids: the nlist lowest ids. */
+    /** Deterministic sampled centroids: the nlist lowest ids. Control
+      * plane: nlist ≈ √N rows (≈16 MB at 30k×64 dims) — driver-safe. */
     def centroids(df: DataFrame, idCol: String = "vec_id",
         vecCol: String = "embedding"): Array[Array[Double]] =
       df.where(col(idCol) < nlist).orderBy(col(idCol))
         .select(transform(col(vecCol), x => x.cast("double")))
         .collect().map(_.getSeq[Double](0).toArray)
 
-    /** (cos, cell) structs ranked best-first for a vector. The cast
-      * vector and its norm are let-bound: computed once per row, not
-      * once per centroid. */
-    private def rankedCells(vecCol: Column, cents: Array[Array[Double]]): Column =
-      graft.functions.Cols.let(transform(vecCol, x => x.cast("double"))) { vd =>
-        graft.functions.Cols.let(
-          sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))) { nv =>
-          reverse(array_sort(array(cents.zipWithIndex.map { case (ct, i) =>
-            val c = array(ct.map(lit): _*)
-            val norm = math.sqrt(ct.map(x => x * x).sum)
-            val dot = aggregate(zip_with(vd, c, (x, y) => x * y),
-              lit(0.0), (acc, x) => acc + x)
-            struct((dot / (nv * norm)).as("cos"), lit(i).as("cell"))
-          }: _*)))
+    /** The centroid DATA table (cell, __cvec__, __cnorm__) to broadcast:
+      * nlist rows of data, O(1) plan nodes regardless of nlist. */
+    private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+        cents: Array[Array[Double]]): DataFrame = {
+      import spark.implicits._
+      cents.zipWithIndex
+        .map { case (v, i) => (i, v.toSeq, math.sqrt(v.map(x => x * x).sum)) }
+        .toSeq.toDF("__cell__", "__cvec__", "__cnorm__")
+    }
+
+    /** Append the best-cell column via broadcast join + `max_by`: each
+      * row is scored against the broadcast centroids (map-side, nlist
+      * copies collapse in the PARTIAL aggregate before any shuffle — the
+      * exchange carries one row per vector). Ties break toward the
+      * LARGER cell id, matching the previous ranked-sort semantics and
+      * the DuckDB oracle's `ORDER BY cos DESC, c DESC`. */
+    def assign(df: DataFrame, cents: Array[Array[Double]],
+        idCol: String = "vec_id", vecCol: String = "embedding",
+        cellCol: String = "cell"): DataFrame = {
+      val spark = df.sparkSession
+      val vd = transform(col(vecCol), x => x.cast("double"))
+      val prepped = df
+        .withColumn("__v__", vd)
+        .withColumn("__nv__",
+          sqrt(aggregate(col("__v__"), lit(0.0), (acc, x) => acc + x * x)))
+      val dot = aggregate(zip_with(col("__v__"), col("__cvec__"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val scored = prepped.crossJoin(broadcast(centroidDf(spark, cents)))
+        .withColumn("__cos__", dot / (col("__nv__") * col("__cnorm__")))
+      val carried = struct(df.columns.map(col): _*)
+      scored
+        .groupBy(col(idCol).as("__gid__"))
+        .agg(max_by(struct(carried.as("o"), col("__cell__").as("c")),
+          struct(col("__cos__"), col("__cell__"))).as("__best__"))
+        .select(col("__best__.o.*"),
+          col("__best__.c").as(cellCol))
+    }
+
+    /** Driver-side ranked probe cells for ONE query vector (bounded
+      * control-plane math — the reference's shard lookup analog). Same
+      * sequential left-to-right double fold as the Catalyst `aggregate`,
+      * same (cos desc, cell desc) tie-break as [[assign]]. */
+    private[ops] def probeCells(qv: Array[Double],
+        cents: Array[Array[Double]]): Seq[Int] = {
+      val nq = math.sqrt(qv.map(x => x * x).sum)
+      cents.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0
+        var d = 0
+        while (d < math.min(c.length, qv.length)) { dot += qv(d) * c(d); d += 1 }
+        (dot / (nq * math.sqrt(c.map(x => x * x).sum)), i)
+      }.sortBy { case (cos, i) => (-cos, -i) }.take(nprobe).map(_._2).toSeq
+    }
+
+    /** Optional Lloyd (k-means) refinement of the sampled seed: each
+      * iteration assigns cells with [[assign]] (broadcast join) and
+      * recomputes per-cell mean vectors with ONE (cell, dim) hash
+      * aggregation — everything distributed, only the nlist×dims means
+      * are collected. Empty cells keep their previous centroid. */
+    def trainCentroids(df: DataFrame, iters: Int = 2,
+        idCol: String = "vec_id", vecCol: String = "embedding")
+        : Array[Array[Double]] = {
+      var cents = centroids(df, idCol, vecCol)
+      for (_ <- 1 to iters) {
+        val assigned = assign(df, cents, idCol, vecCol, cellCol = "__c__")
+        val means = assigned
+          .select(col("__c__"),
+            posexplode(transform(col(vecCol), x => x.cast("double")))
+              .as(Seq("__d__", "__x__")))
+          .groupBy("__c__", "__d__").agg(avg(col("__x__")).as("__m__"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        val byCell = means.groupBy(_._1)
+        cents = cents.zipWithIndex.map { case (prev, i) =>
+          byCell.get(i).fold(prev)(ds =>
+            ds.sortBy(_._2).map(_._3).toArray)
         }
       }
-
-    /** Best cell id for each vector (the index/partition column). */
-    def cell(vecCol: Column, cents: Array[Array[Double]]): Column =
-      element_at(rankedCells(vecCol, cents), 1).getField("cell")
+      cents
+    }
 
     /** Materialize the IVF index: the corpus written `partitionBy(cell)`
       * — the at-rest layout where a query SCANS ONLY its nprobe cell
       * partitions instead of the corpus (partition pruning shows up as
       * `PartitionFilters: [cell IN (...)]` in the scan). Returns the
-      * plan-time centroids to pass to [[topKIndexed]]. */
+      * centroids to pass to [[topKIndexed]]. */
     def writeIndex(corpus: DataFrame, io: graft.sink.TableIO, table: String,
         idCol: String = "vec_id", vecCol: String = "embedding")
         : Array[Array[Double]] = {
       val cents = centroids(corpus, idCol, vecCol)
       io.overwritePartitions(
-        corpus.withColumn("cell", cell(col(vecCol), cents)),
-        table, Seq("cell"))
+        assign(corpus, cents, idCol, vecCol), table, Seq("cell"))
       cents
     }
 
@@ -164,18 +225,16 @@ object SimilarityOps {
         io: graft.sink.TableIO, table: String,
         cents: Array[Array[Double]], query: DataFrame, k: Int,
         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-      val probes = slice(rankedCells(col(vecCol), cents), 1, nprobe)
-      // nprobe cell ids for ONE query vector: bounded control-plane read
+      // ONE query vector: bounded control-plane read
       val qRows = query
-        .select(transform(col(vecCol), x => x.cast("double")).as("__qv__"),
-          transform(probes, p => p.getField("cell")).as("__qcells__"))
+        .select(transform(col(vecCol), x => x.cast("double")).as("__qv__"))
         .take(1)
       if (qRows.isEmpty)
         return io.read(spark, table).limit(0)
           .select(lit(0).cast("int").as("rank"), col(idCol))
-      val qCells = qRows.head.getSeq[Int](1)
-      val qVec = array(qRows.head.getSeq[Double](0) // literal: broadcast-free
-        .map(lit): _*)
+      val qv = qRows.head.getSeq[Double](0).toArray
+      val qCells = probeCells(qv, cents)
+      val qVec = array(qv.map(lit).toIndexedSeq: _*) // literal: broadcast-free
       val cand = io.read(spark, table)
         .where(col("cell").isin(qCells: _*)) // partition pruning
       val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))
@@ -186,13 +245,18 @@ object SimilarityOps {
     def topK(corpus: DataFrame, query: DataFrame, k: Int,
         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
       val cents = centroids(corpus, idCol, vecCol)
-      val probes = slice(rankedCells(col(vecCol), cents), 1, nprobe)
-      val q = query.select(col(vecCol).as("__qv__"),
-        transform(probes, p => p.getField("cell")).as("__qcells__"))
-      val cand = corpus.withColumn("__cell__", cell(col(vecCol), cents))
-        .join(broadcast(q), array_contains(col("__qcells__"), col("__cell__")))
-      val scored = cand
-        .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+      val qRows = query
+        .select(transform(col(vecCol), x => x.cast("double")).as("__qv__"))
+        .take(1)
+      if (qRows.isEmpty)
+        return corpus.limit(0)
+          .select(lit(0).cast("int").as("rank"), col(idCol))
+      val qv = qRows.head.getSeq[Double](0).toArray
+      val qCells = probeCells(qv, cents)
+      val qVec = array(qv.map(lit).toIndexedSeq: _*)
+      val cand = assign(corpus, cents, idCol, vecCol, cellCol = "__cell__")
+        .where(col("__cell__").isin(qCells: _*))
+      val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))
       rankTopK(scored, k, idCol)
     }
   }

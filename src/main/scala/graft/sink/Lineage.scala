@@ -59,8 +59,15 @@ object Lineage {
       sinkCol: String = "__sink__", bucketCol: String = "__bucket__",
       expected: Seq[(String, Int)] = Nil): Unit = {
     val spark = written.sparkSession
+    // Canonicalize before hashing — SORTED column names, values cast to
+    // string — so the hash is SOURCE-INDEPENDENT: the main path hashes
+    // the read-back parquet while fallback paths (empty write, undeclared
+    // extra partitions) hash the input plan, and the two differ in column
+    // order and in partition-column types (a long __batch__ in the plan
+    // is inferred int on read-back). Identical content must hash equal
+    // through either path or cross-run equality evidence is useless.
     val allCols = written.columns.filterNot(c => c == sinkCol || c == bucketCol)
-      .map(col)
+      .sorted.map(c => col(c).cast("string"))
     val grouped = written
       .select(col(sinkCol).as("sink"), col(bucketCol).as("bucket"),
         xxhash64(allCols: _*).as("__h__"))

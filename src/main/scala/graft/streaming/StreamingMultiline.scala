@@ -64,11 +64,21 @@ object StreamingMultiline {
         if (state.hasTimedOut) {
           // idle-key flush: emit the open chunk per the EOF rule. The
           // post-flush state (empty chunk, ADVANCED segment counter) is
-          // kept so segment ids stay unique per key across flushes.
+          // kept — with a RE-ARMED timeout — so segment ids stay unique
+          // per key across flushes. A key that times out AGAIN with
+          // nothing open (bare counter, one full extra interval idle) is
+          // REMOVED: under high key churn (file rotation) the store
+          // would otherwise grow one entry per key ever seen, forever.
+          // Segment ids restart for a key idle that long — the same
+          // trade the reference makes when a rotated reader is reaped.
           val (recs, st1) = state.getOption
             .map(stepper.flushWithState)
             .getOrElse((Vector.empty, stepper.initial))
-          state.update(st1)
+          if (recs.isEmpty) state.remove()
+          else {
+            state.update(st1)
+            flushAfter.foreach(state.setTimeoutDuration)
+          }
           recs.iterator.map(r => (key, r.segment, r.first, r.nLines, r.text))
         } else {
           val st0 = state.getOption.getOrElse(stepper.initial)

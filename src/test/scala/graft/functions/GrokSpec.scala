@@ -133,6 +133,22 @@ class GrokSpec extends AnyFunSuite {
     assert(out.exists(m => m("text") == "WRONG LOG")) // kept on fail
   }
 
+  test("custom-pattern dictionary bodies accept Go-spelled (?P<name>) groups") {
+    // the Go grok dialect allows (?P<...) inside CustomPatterns values;
+    // the normalization must reach dictionary bodies, not just the
+    // top-level pattern, or Java regex compilation throws
+    val (rx, fields) = Grok.compileIndexed("%{REQ:r} %{INT:n}",
+      Map("REQ" -> "(?P<verb>GET|POST) (?P<path>\\S+)"))
+    val byName = fields.map(f => f._1 -> f._3).toMap
+    assert(byName.keySet == Set("r", "verb", "path", "n"))
+    val m = java.util.regex.Pattern.compile(rx).matcher("GET /api/x 42")
+    assert(m.matches())
+    assert(m.group(byName("r")) == "GET /api/x")
+    assert(m.group(byName("verb")) == "GET")
+    assert(m.group(byName("path")) == "/api/x")
+    assert(m.group(byName("n")) == "42")
+  }
+
   test("a custom-pattern named group cannot collide with internal alias markers") {
     // a dictionary body that names a group exactly like the default
     // marker prefix must not shadow the %{INT:a} alias

@@ -132,6 +132,52 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(ids.contains(10L) && !ids.contains(11L) && !ids.contains(1L))
   }
 
+  test("ivf at scale shape: nlist=1024 assigns via broadcast centroid DATA, O(1) plan") {
+    val dims = 8
+    val vecs = spark.range(0, 1200).toDF("vec_id")
+      .withColumn("embedding", transform(sequence(lit(0), lit(dims - 1)),
+        d => sin(col("vec_id") * 0.7 + d).cast("float")))
+      .cache()
+    val ivf = SimilarityOps.IvfIndex(nlist = 1024, nprobe = 8)
+    val cents = ivf.centroids(vecs)
+    assert(cents.length == 1024)
+    val assigned = ivf.assign(vecs, cents)
+    val physical = assigned.queryExecution.executedPlan.toString
+    assert(physical.contains("Broadcast"), physical.take(2000))
+    // the scale fix: assignment must NOT inline nlist centroid literals
+    // into the plan — plan text stays small at any nlist
+    val logical = assigned.queryExecution.optimizedPlan.toString
+    assert(logical.length < 50000, s"plan grew with nlist: ${logical.length}")
+    // assignment agrees with driver-side math on sampled vectors
+    val got = assigned.where(col("vec_id").isin(3L, 777L, 1111L))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qvs = vecs.where(col("vec_id").isin(3L, 777L, 1111L))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, qv) <- qvs)
+      assert(got(id) == ivf.probeCells(qv, cents).head, s"vec $id")
+    vecs.unpersist()
+  }
+
+  test("ivf k-means refinement: trained centroids move to cluster means") {
+    // two tight clusters; sampled seeds (ids 0,1) both sit in cluster A,
+    // Lloyd refinement must pull one centroid toward cluster B's mean
+    val a = (0L until 6L).map(i => (i, Seq(10f + i * 0.01f, 0f, 0f, 0f)))
+    val b = (6L until 12L).map(i => (i, Seq(0f, 10f + i * 0.01f, 0f, 0f)))
+    val vecs = (a ++ b).toDF("vec_id", "embedding")
+    val ivf = SimilarityOps.IvfIndex(nlist = 2, nprobe = 1)
+    val trained = ivf.trainCentroids(vecs, iters = 3)
+    val assigned = SimilarityOps.IvfIndex(nlist = 2, nprobe = 1)
+      .assign(vecs, trained)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all of cluster A in one cell, all of cluster B in the other
+    assert(a.map(x => assigned(x._1)).toSet.size == 1)
+    assert(b.map(x => assigned(x._1)).toSet.size == 1)
+    assert(assigned(0L) != assigned(11L))
+  }
+
   test("token counts: whitespace vs bpe-ish tokens") {
     val d = docs(1L -> "hello, world! x2")
     val r = TextOps.tokenCounts(d).collect().head
@@ -275,6 +321,29 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(r(1L) == ((1L, true)) && r(2L) == ((1L, false)) && r(3L) == ((1L, false)))
     assert(r(5L) == ((5L, true)) && r(6L) == ((5L, false)))
     assert(r(7L) == ((7L, true)) && r(8L) == ((7L, false)) && r(9L) == ((7L, false)))
+  }
+
+  test("resolveDuplicatesDetailed: chain-shaped components, converged flag, checkpoint truncation") {
+    // a 12-node chain is the label-propagation worst case: the min
+    // label travels one hop per iteration
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // too few iterations → NOT converged, and the chain splits
+    val (partial, convNo) =
+      DedupOps.resolveDuplicatesDetailed(chain, maxIter = 3)
+    assert(!convNo)
+    // labels still moving: the chain is split across several comp values
+    assert(partial.select("comp").distinct().count() > 1)
+    // enough iterations (crossing two checkpointEvery boundaries, so the
+    // localCheckpoint lineage-truncation path is exercised) → converged,
+    // one component, survivor = min id
+    val (full, convYes) =
+      DedupOps.resolveDuplicatesDetailed(chain, maxIter = 20,
+        checkpointEvery = 5)
+    assert(convYes)
+    val rows = full.collect().map(x =>
+      x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(rows.values.map(_._1).toSet == Set(0L))
+    assert(rows.filter(_._2._2).keySet == Set(0L))
   }
 
   test("incremental minhash: new batch pairs against a stored signature table only") {

@@ -140,6 +140,28 @@ class FanOutResumeSpec extends AnyFunSuite {
     assert(m.select("fmt").distinct().count() >= 4) // nginx/json/kv/csv/raw...
   }
 
+  test("lineage content_hash is source-independent (column order / int-vs-long)") {
+    // the main path hashes read-back parquet, fallbacks hash the input
+    // plan — identical content must hash equal through either shape
+    val dir = tmp()
+    val io = TableIO(dir)
+    val sqlc = spark
+    import sqlc.implicits._
+    val a = Seq(("s1", 0, 7L, "x"), ("s1", 1, 8L, "y"))
+      .toDF("__sink__", "__bucket__", "batch", "payload")
+    // reordered columns, batch narrowed to int (parquet read-back shape)
+    val b = a.select(col("payload"), col("batch").cast("int").as("batch"),
+      col("__sink__"), col("__bucket__"))
+    Lineage.record(io, "run-h1", a)
+    Lineage.record(io, "run-h2", b)
+    val lin = spark.read.parquet(s"$dir/_lineage")
+      .select("run_id", "sink", "bucket", "n_rows", "content_hash")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(lin(("run-h1", "s1", 0)) == lin(("run-h2", "s1", 0)))
+    assert(lin(("run-h1", "s1", 1)) == lin(("run-h2", "s1", 1)))
+  }
+
   test("maxRecordsPerFile bounds rows per file (LogGroup batching parity)") {
     val dir = tmp()
     val io = TableIO(dir, maxRecordsPerFile = 200)
