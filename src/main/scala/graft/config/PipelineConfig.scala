@@ -101,7 +101,14 @@ object PipelineConfig {
         exclude = strs(n, "exclude")).apply _
     },
     "dict_map" -> { n =>
-      EnrichOps.DictMap(strMap(n, "dict"), str(n, "sourceKey"),
+      // DictFilePath wins over the inline dict when both are present
+      // (processor_dict_map.go:69-74); MaxDictSize caps file entries
+      val dict = strOpt(n, "dictFilePath") match {
+        case Some(p) =>
+          EnrichOps.DictMap.loadCsv(p, int(n, "maxDictSize", 1000))
+        case None => strMap(n, "dict")
+      }
+      EnrichOps.DictMap(dict, str(n, "sourceKey"),
         str(n, "destKey"), handleMissing = n.hasNonNull("missing"),
         missing = strOpt(n, "missing").getOrElse("")).apply _
     },
@@ -239,12 +246,15 @@ object PipelineConfig {
   final case class Spec(processors: Seq[Stage],
       router: Option[RouteOps.LogstoreRouter],
       multicast: Option[RouteOps.MulticastRouter] = None,
-      sink: Option[SinkSpec] = None) {
+      sink: Option[SinkSpec] = None,
+      // dynamic sink naming (flusher_kafka `Topic: "logs_%{content.x}"`)
+      topic: Option[RouteOps.TopicTemplate] = None) {
     /** The composed pipeline: processor line, then routing column. */
     def apply(df: DataFrame): DataFrame = {
       val processed = processors.foldLeft(df)((d, s) => s(d))
       val routed = router.fold(processed)(r => r(processed))
-      multicast.fold(routed)(m => m.explodeSinks(routed))
+      val cast = multicast.fold(routed)(m => m.explodeSinks(routed))
+      topic.fold(cast)(t => t(cast))
     }
 
     /** End-to-end: configured pipeline → resumable fan-out write →
@@ -253,9 +263,15 @@ object PipelineConfig {
     def run(df: DataFrame, io: TableIO, runId: String): Int = {
       val sk = sink.getOrElse(throw new IllegalArgumentException(
         "config has no 'sink' section"))
-      val sinkNames = (router.map(r =>
-          (r.rules.map(_.sink) :+ r.defaultSink).distinct).getOrElse(Nil)
-        ++ multicast.map(_.conditions.map(_._1)).getOrElse(Nil)).distinct
+      // a dynamic topic template means the sink set is data-dependent:
+      // leave it undeclared so the writer's distinct() fallback
+      // discovers it (the reference likewise cannot enumerate dynamic
+      // kafka topics ahead of the data)
+      val sinkNames =
+        if (topic.nonEmpty) Nil
+        else (router.map(r =>
+            (r.rules.map(_.sink) :+ r.defaultSink).distinct).getOrElse(Nil)
+          ++ multicast.map(_.conditions.map(_._1)).getOrElse(Nil)).distinct
       val writer = FanOutWriter(io, table = sk.table,
         numBuckets = sk.numBuckets, bucketKeys = sk.bucketKeys,
         sinks = sinkNames)
@@ -319,6 +335,14 @@ object PipelineConfig {
     // the router's __sink__ column and silently drop its routing
     require(router.isEmpty || multicast.isEmpty,
       "config may declare 'router' or 'multicast', not both")
-    Spec(stages, router, multicast, sink)
+    // sink.topic: dynamic-topic template string (kafka flusher parity);
+    // it OWNS the __sink__ column, so it excludes the static routers
+    val topic = Option(root.get("sink"))
+      .flatMap(s => strOpt(s, "topic"))
+      .map(RouteOps.TopicTemplate(_))
+    require(topic.isEmpty || (router.isEmpty && multicast.isEmpty),
+      "a dynamic sink 'topic' template cannot be combined with " +
+        "'router'/'multicast' (both write the routing column)")
+    Spec(stages, router, multicast, sink, topic)
   }
 }

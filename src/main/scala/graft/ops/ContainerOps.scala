@@ -83,10 +83,15 @@ object ContainerOps {
 
   /** Docker json-file line: `{"log":…,"stream":…,"time":…}`.
     *
-    * The reference hand-parses exactly these three fields with JSON
-    * unescaping (cpp:355-465); `from_json` reproduces that. A complete
-    * docker line carries ONE trailing `\n` in `log`, stripped
-    * (cpp:512-515). Invalid object / missing field / stream ∉
+    * The reference hand-parses EXACTLY these three fields, each of which
+    * must be a string value (cpp:355-465: every value must open with
+    * `"`, every key must be one of log/stream/time, logTypeCnt must
+    * reach 3) — so `"log":1`, a missing/renamed key, or an extra key is
+    * a parse failure, not a coercion. One `try_parse_json` +
+    * `schema_of_variant` equality reproduces that strictness (the
+    * variant schema lists keys alphabetically, matching the reference's
+    * key-order-insensitive loop). A complete docker line carries ONE
+    * trailing `\n` in `log`, stripped (cpp:512-515). stream ∉
     * {stdout, stderr} → parse failure, same keep/drop contract as CRI.
     */
   final case class DockerJsonParser(
@@ -95,24 +100,29 @@ object ContainerOps {
       ignoringStderr: Boolean = false,
       keepingSourceWhenParseFail: Boolean = true) {
 
+    /** The only variant shape the reference parser accepts. */
+    val strictSchema = "OBJECT<log: STRING, stream: STRING, time: STRING>"
+
     def apply(df: DataFrame): DataFrame = {
       val src = col(sourceKey)
       val g = "__dj__"
-      // materialized once (CollapseProject keeps multi-use non-cheap
-      // projections single-eval behind a named column)
-      val parsed = df.withColumn(g,
-        from_json(src, org.apache.spark.sql.types.StructType.fromDDL(
-          "log string, stream string, time string")))
+      // variant parsed once into a named column (CollapseProject keeps
+      // multi-use non-cheap projections single-eval); all field gets +
+      // the type check walk the variant binary without re-parsing
+      val parsed = df.withColumn(g, try_parse_json(src))
       val pv = col(g)
-      val ok = src.isNotNull && src.rlike("^\\{") && src.rlike("\\}$") &&
-        pv.getField("log").isNotNull &&
-        pv.getField("time").isNotNull &&
-        pv.getField("stream").isin("stdout", "stderr")
+      def f(name: String) = try_variant_get(pv, "$." + name, "string")
+      // try_parse_json accepts trailing garbage after the object; the
+      // reference consumes the whole line, so also require it to END at
+      // the object (`\n\z` not `\n$`: Java `$` also matches BEFORE a
+      // final newline, which would strip two trailing newlines)
+      val ok = schema_of_variant(pv) === strictSchema &&
+        f("stream").isin("stdout", "stderr") && rtrim(src).endsWith("}")
       val out = parsed
-        .withColumn(TimeKey, when(ok, pv.getField("time")))
-        .withColumn(SourceKey, when(ok, pv.getField("stream")))
+        .withColumn(TimeKey, when(ok, f("time")))
+        .withColumn(SourceKey, when(ok, f("stream")))
         .withColumn(ContentKey,
-          when(ok, regexp_replace(pv.getField("log"), "\\n$", "")))
+          when(ok, regexp_replace(f("log"), "\\n\\z", "")))
         .drop(g)
       val kept =
         if (keepingSourceWhenParseFail) out

@@ -49,6 +49,48 @@ object EnrichOps {
     }
   }
 
+  object DictMap {
+    /** CSV dictionary tier (`DictFilePath`), mirroring the reference
+      * loader `plugins/processor/dictmap/processor_dict_map.go:95-135`:
+      * comma-separated CSV (quoting per Go `encoding/csv`), every row
+      * exactly 2 fields, a duplicate key with a CONFLICTING value is a
+      * config error ("hash crash"), a same-value duplicate is fine, and
+      * rows past `maxDictSize` entries are silently ignored. The file is
+      * config material read once on the driver; the resulting Map flows
+      * into the usual broadcast join.
+      */
+    def loadCsv(path: String, maxDictSize: Int = 1000): Map[String, String] = {
+      import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+      val settings = new CsvParserSettings
+      settings.getFormat.setDelimiter(',')
+      settings.setEmptyValue("")
+      settings.setNullValue("")
+      settings.setMaxColumns(16) // a valid dict row has 2; fail fast
+      val reader = new java.io.InputStreamReader(
+        new java.io.FileInputStream(path), java.nio.charset.StandardCharsets.UTF_8)
+      val rows =
+        try new CsvParser(settings).parseAll(reader)
+        finally reader.close()
+      require(!rows.isEmpty, s"empty dict file: $path")
+      val dict = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val it = rows.iterator()
+      var i = 0
+      while (it.hasNext && dict.size < maxDictSize) {
+        val row = it.next(); i += 1
+        require(row.length == 2,
+          s"illegal dict row $i in $path: length ${row.length}, want 2")
+        dict.get(row(0)) match {
+          case Some(prev) if prev != row(1) =>
+            throw new IllegalArgumentException(
+              s"hash crash in $path row $i: key '${row(0)}' redefined " +
+                s"('$prev' vs '${row(1)}')")
+          case _ => dict(row(0)) = row(1)
+        }
+      }
+      dict.toMap
+    }
+  }
+
   /** Range-lookup enrichment (the geoip shape): broadcast theta join
     * `lo <= key AND key < hi` against a small range table.
     * Reference: `plugins/processor/geoip/processor_geoip.go` — MaxMind

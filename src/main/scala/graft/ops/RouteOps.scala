@@ -62,6 +62,61 @@ object RouteOps {
     }
   }
 
+  /** Dynamic sink/topic template — the kafka flusher's `Topic` pattern.
+    *
+    * Reference: `plugins/flusher/kafkav2/flusher_kafka_v2.go:234-239,
+    * 296-306` (per-log `FormatTopic`), grammar
+    * `pkg/fmtstr/formatstring.go:104,416-420` (`%{key}` tokens, `%%` →
+    * literal percent), fallback `pkg/fmtstr/format_topic.go:18-24`: a
+    * key absent from the value map substitutes ITS OWN NAME. Keys carry
+    * the converter's `content.` / `tag.` prefixes
+    * (`pkg/protocol/converter/converter.go:46-47`) — both address the
+    * flat column space here, so the prefix is stripped.
+    *
+    * Compiles to ONE `concat` projection (codegen'd, no UDF); the
+    * resulting column is the fan-out writer's partition column, so
+    * dynamic topics ride the existing single-pass partitioned write.
+    */
+  final case class TopicTemplate(pattern: String, sinkCol: String = "__sink__") {
+    require(pattern.nonEmpty, "empty topic pattern")
+
+    /** (literal-before, key) pairs + trailing literal. */
+    private val (parts: Seq[(String, String)], tail: String) = {
+      val token = "%\\{([^}]*)\\}".r
+      val ps = Seq.newBuilder[(String, String)]
+      var last = 0
+      for (m <- token.findAllMatchIn(pattern)) {
+        ps += ((pattern.substring(last, m.start).replace("%%", "%"),
+          m.group(1)))
+        last = m.end
+      }
+      (ps.result(), pattern.substring(last).replace("%%", "%"))
+    }
+
+    /** Referenced keys with their converter prefix stripped. */
+    val keys: Seq[String] = parts.map(_._2).map(stripPrefix)
+
+    private def stripPrefix(k: String): String =
+      Seq("content.", "tag.", "field.").find(k.startsWith)
+        .fold(k)(p => k.substring(p.length))
+
+    /** Per-row topic column; a missing column or null value falls back
+      * to the literal key name, as `FormatTopic` does. */
+    def column(df: DataFrame): Column = {
+      val cols = parts.flatMap { case (lead, key) =>
+        val c = stripPrefix(key)
+        val v =
+          if (df.columns.contains(c)) coalesce(col(c).cast("string"), lit(key))
+          else lit(key)
+        Seq(lit(lead), v)
+      } :+ lit(tail)
+      concat(cols: _*)
+    }
+
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn(sinkCol, column(df))
+  }
+
   /** C++ multicast router: each sink has a Column condition; every
     * matching sink receives the row (copies).
     * Reference: `core/pipeline/route/Router.cpp:49-81` (all matching

@@ -207,4 +207,100 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(out.filter(col("t_status").isNotNull).count() > 0)
     assert(out.filter(col("t_status").isNull).count() > 0)
   }
+
+  // --- DictFilePath tier (processor_dict_map.go:95-135) ---------------------
+
+  private def csvFile(content: String): String = {
+    val f = java.nio.file.Files.createTempFile("graft-dict", ".csv")
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("dict_map file tier: CSV load with quoting, config-driven") {
+    import graft.ops.EnrichOps
+    // quoted value with an embedded comma, and a same-value duplicate
+    val path = csvFile(
+      "user,human\nassistant,\"model, large\"\nsystem,control\nuser,human\n")
+    val dict = EnrichOps.DictMap.loadCsv(path)
+    assert(dict == Map("user" -> "human", "assistant" -> "model, large",
+      "system" -> "control"))
+    val yaml =
+      s"""processors:
+         |  - type: dict_map
+         |    sourceKey: role
+         |    destKey: role_class
+         |    dictFilePath: $path
+         |    dict: {user: IGNORED-file-wins}
+         |    missing: other
+         |""".stripMargin
+    val out = PipelineConfig.parse(yaml)(Transcripts.generate(spark, 30, seed = 7))
+    val rc = out.select("role", "role_class").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rc("user") == "human" && rc("assistant") == "model, large" &&
+      rc("tool") == "other")
+  }
+
+  test("dict_map file tier: conflicting duplicate, bad row shape, size cap") {
+    import graft.ops.EnrichOps
+    // conflicting duplicate key → "hash crash" (go:127-129)
+    val clash = intercept[IllegalArgumentException](
+      EnrichOps.DictMap.loadCsv(csvFile("k,v1\nk,v2\n")))
+    assert(clash.getMessage.contains("hash crash"))
+    // a row with ≠2 fields is illegal input (go:122-124)
+    val shape = intercept[IllegalArgumentException](
+      EnrichOps.DictMap.loadCsv(csvFile("a,b\nc,d,e\n")))
+    assert(shape.getMessage.contains("length"))
+    // empty file rejected (go:116-118)
+    intercept[IllegalArgumentException](
+      EnrichOps.DictMap.loadCsv(csvFile("")))
+    // rows past maxDictSize silently ignored (loop bound, go:110)
+    assert(EnrichOps.DictMap.loadCsv(
+      csvFile("a,1\nb,2\nc,3\n"), maxDictSize = 2) == Map("a" -> "1", "b" -> "2"))
+  }
+
+  // --- dynamic sink topic (flusher_kafka_v2 fmtstr) -------------------------
+
+  test("sink topic template: per-row dynamic sink with literal fallback " +
+    "for unknown keys, routed-row equality through the writer") {
+    import graft.ops.RouteOps
+    import graft.sink.TableIO
+    val t = RouteOps.TopicTemplate("logs_%{content.role}_%{tag.nope}")
+    assert(t.keys == Seq("role", "nope"))
+    val input = Transcripts.generate(spark, 40, seed = 9)
+    val sinks = t(input).select("role", "__sink__").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // resolved key + missing-key literal fallback (format_topic.go:18-24)
+    assert(sinks("user") == "logs_user_tag.nope")
+    assert(sinks("assistant") == "logs_assistant_tag.nope")
+
+    // config-driven: the templated sink flows into the fan-out writer
+    val dir = java.nio.file.Files.createTempDirectory("graft-topic").toString
+    val yaml =
+      """sink:
+        |  table: events_routed
+        |  numBuckets: 4
+        |  bucketKeys: [conv_id]
+        |  topic: "t_%{content.role}"
+        |""".stripMargin
+    val written = PipelineConfig.parse(yaml).run(input, TableIO(dir), "topic-run")
+    assert(written > 0)
+    val back = spark.read.parquet(s"$dir/events_routed")
+    // routed-row equality: every row landed exactly once, under its topic
+    assert(back.count() == input.count())
+    val byTopic = back.groupBy("__sink__").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = input.groupBy(concat(lit("t_"), col("role"))).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic == expect)
+    // a topic template plus a static router is rejected
+    val both =
+      """router:
+        |  sourceKey: role
+        |  rules: [{regex: user, sink: a}]
+        |sink:
+        |  topic: "t_%{content.role}"
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(both))
+    assert(e.getMessage.contains("topic"))
+  }
 }
