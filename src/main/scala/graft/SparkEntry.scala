@@ -421,6 +421,13 @@ object SparkEntry {
       DedupOps.NgramJaccard(shingleSize = 3, threshold = 0.2)
         .pairs(tbl(s, dir, "documents"))
     },
+    "curation_survivors" -> { (s, dir) =>
+      // the full curation chain: gate → exact dedup → LSH near-dup →
+      // cluster resolution → survivor set (graft.run.CurationPipeline)
+      graft.run.CurationPipeline.survivors(tbl(s, dir, "documents"))._1
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    },
     "embed_neardup" -> { (s, dir) => // exact O(n²) VERIFICATION tier (opt-in)
       SimilarityOps.EmbedNearDup(threshold = 0.35, exact = true)
         .pairs(tbl(s, dir, "embeddings"))
@@ -896,6 +903,63 @@ object SparkEntry {
            SELECT doc_a, doc_b,
              round(len(list_filter(range(0,16), i -> ma[i+1] = mb[i+1])) / 16.0, 4) AS est_jaccard
            FROM cand WHERE len(list_filter(range(0,16), i -> ma[i+1] = mb[i+1])) >= 8"""
+        .replace("__MIXES__", DedupOps.minhashSalts(16).map { case (a, b) =>
+          s"list_min(list_transform(bh, h -> (h * $a + $b) % 4294967296))"
+        }.mkString(", ")),
+
+      // the full curation chain against the same minhash CTEs; the
+      // near-dup component resolution is a nested RECURSIVE reachability
+      // closure (small pair graph), mirroring resolveDuplicates'
+      // min-label fixpoint
+      "curation_survivors" ->
+        """WITH w0 AS (
+             SELECT doc_id, text,
+               str_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words
+             FROM documents
+           ), gated AS (
+             SELECT doc_id, text, words FROM w0
+             WHERE len(words) >= 10
+               AND len(list_distinct(words)) * 1.0 / len(words) >= 0.3
+               AND (SELECT max(c) * 1.0 / sum(c) FROM (
+                      SELECT count(*) AS c FROM (
+                        SELECT unnest(list_transform(range(1, len(words)),
+                          i -> array_to_string(words[i:i+1], ' '))) AS bgx)
+                      GROUP BY bgx)) <= 0.12
+           ), exact AS (
+             SELECT min(doc_id) AS keep_id FROM gated GROUP BY md5(text)
+           ), ex AS (
+             SELECT g.* FROM gated g JOIN exact ON g.doc_id = exact.keep_id
+           ), sh AS (
+             SELECT doc_id, list_distinct(list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' '))) AS shingles
+             FROM ex WHERE len(words) >= 3
+           ), sigb AS (
+             SELECT doc_id, list_transform(shingles, s -> cast(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS bh FROM sh
+           ), sig AS (
+             SELECT doc_id, [__MIXES__] AS mh FROM sigb
+           ), bands AS (
+             SELECT doc_id, mh, unnest(range(0, 4)) AS band FROM sig
+           ), bucketed AS (
+             SELECT doc_id, mh, band, md5(array_to_string(mh[band*4+1:band*4+4], ',')) AS bucket FROM bands
+           ), prs AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bucketed a JOIN bucketed b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             WHERE len(list_filter(range(0,16), i -> a.mh[i+1] = b.mh[i+1])) >= 8
+           ), und AS (
+             SELECT doc_a AS u, doc_b AS v FROM prs
+             UNION SELECT doc_b, doc_a FROM prs
+           ), comp AS (
+             SELECT id, min(r) AS comp FROM (
+               WITH RECURSIVE reach(id, r) AS (
+                 SELECT u, v FROM und
+                 UNION
+                 SELECT e.u, r.r FROM und e JOIN reach r ON e.v = r.id
+               ) SELECT id, least(id, r) AS r FROM reach
+             ) GROUP BY id
+           )
+           SELECT e.doc_id, md5(e.text) AS text_md5 FROM ex e
+           LEFT JOIN comp ON e.doc_id = comp.id
+           WHERE comp.id IS NULL OR comp.id = comp.comp"""
         .replace("__MIXES__", DedupOps.minhashSalts(16).map { case (a, b) =>
           s"list_min(list_transform(bh, h -> (h * $a + $b) % 4294967296))"
         }.mkString(", ")),
