@@ -38,6 +38,32 @@ object SparkEntry {
 
   private val nginxAnchored = s"^(?:${TranscriptPipeline.nginxRegex})$$"
 
+  /** Deterministic Prometheus exposition-format lines derived from the
+    * transcript table: plain samples, labeled samples (incl. trailing
+    * comma and escaped label values), second- and millisecond-resolution
+    * timestamps, a trailing comment, plus comment / malformed / blank
+    * lines that the parser must skip or drop. */
+  private def promFixture(t: DataFrame): DataFrame = {
+    val m8 = pmod(col("turn_idx"), lit(8))
+    t.withColumn("line",
+      when(m8 === 0, concat(lit("req_total{tool=\""), col("tool"),
+          lit("\",role=\""), col("role"), lit("\"} "), col("turn_idx")))
+        .when(m8 === 1, lit("# TYPE req_total counter"))
+        .when(m8 === 2, concat(lit("mem_bytes "), col("turn_idx"),
+          lit(".5 1700000000")))
+        .when(m8 === 3, lit("lat_ms{q=\"a\\nb\",p=\"c\\\"d\"} 2.5e3 1700000123456"))
+        .when(m8 === 4, concat(lit("bad{tool=\""), col("tool"), lit("\" 1")))
+        .when(m8 === 5, concat(lit("up{role=\""), col("role"), lit("\",} 1")))
+        .when(m8 === 6, lit("x:y_total 3.25 # c"))
+        .otherwise(lit("   ")))
+  }
+
+  /** Sorted `k=v` join of a label map — a portable, hash-comparable
+    * rendering of map<string,string> for the oracle. */
+  private def promLabelsStr(labels: Column): Column =
+    array_join(transform(array_sort(map_entries(labels)),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+
   /** Flagship: full pipeline on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame = {
     val t = transcripts(spark, "/root/testdata/sf0.001")
@@ -364,6 +390,33 @@ object SparkEntry {
         keepingSourceWhenParseFail = false)(raw)
         .select(col("conv_id"), col("turn_idx"), col("_time_").as("dtime"),
           col("_source_").as("stream"), col("content"))
+    },
+
+    // -- prometheus metric path (§2 metric pipeline) -------------------------
+    "prom_parse" -> { (s, dir) =>
+      PromOps.TextParser("line", defaultTsSec = 86400L)(
+        promFixture(transcripts(s, dir)))
+        .select(col("conv_id"), col("turn_idx"), col("name"),
+          promLabelsStr(col("labels")).as("labels_str"),
+          col("value"), col("ts_sec"), col("ts_ns"))
+    },
+    "prom_relabel" -> { (s, dir) =>
+      val parsed = PromOps.TextParser("line", defaultTsSec = 86400L)(
+        promFixture(transcripts(s, dir)))
+      val rules = Seq(
+        PromOps.RelabelRule("keep", sourceLabels = Seq("__name__"),
+          regex = "req_total|up"),
+        PromOps.RelabelRule("replace", sourceLabels = Seq("role"),
+          targetLabel = "who", regex = "us(e)r", replacement = "u$1"),
+        PromOps.RelabelRule("hashmod", sourceLabels = Seq("tool"),
+          targetLabel = "shard", modulus = 7L),
+        PromOps.RelabelRule("labelmap", regex = "ro(le)", replacement = "xx$1"),
+        PromOps.RelabelRule("uppercase", sourceLabels = Seq("role"),
+          targetLabel = "role_up"),
+        PromOps.RelabelRule("labeldrop", regex = "q|p"))
+      PromOps.Relabel(rules)(parsed)
+        .select(col("conv_id"), col("turn_idx"), col("name"),
+          promLabelsStr(col("labels")).as("labels_str"), col("value"))
     },
 
     // -- training-data ops (prompt: dedup / text analysis / similarity) ------
@@ -856,6 +909,45 @@ object SparkEntry {
              json_extract_string(line, '$.stream') AS stream,
              regexp_replace(json_extract_string(line, '$.log'), '\n$', '') AS content
            FROM raw"""),
+
+      // the prom fixture is deterministic in (turn_idx, tool, role), so the
+      // oracle reconstructs the expected parse output directly from those
+      // columns — an independent check of the regex/state-machine parse
+      "prom_parse" -> withCte(
+        """, prom AS (
+             SELECT conv_id, turn_idx, mod(turn_idx, 8) AS m, tool, role
+             FROM transcripts)
+           SELECT conv_id, turn_idx,
+             CASE m WHEN 0 THEN 'req_total' WHEN 2 THEN 'mem_bytes'
+                    WHEN 3 THEN 'lat_ms' WHEN 5 THEN 'up'
+                    ELSE 'x:y_total' END AS name,
+             CASE m WHEN 0 THEN 'role=' || role || ',tool=' || tool
+                    WHEN 3 THEN 'p=c"d,q=a' || chr(10) || 'b'
+                    WHEN 5 THEN 'role=' || role ELSE '' END AS labels_str,
+             CASE m WHEN 0 THEN cast(turn_idx AS DOUBLE) WHEN 2 THEN turn_idx + 0.5
+                    WHEN 3 THEN 2500.0 WHEN 5 THEN 1.0 ELSE 3.25 END AS value,
+             cast(CASE m WHEN 2 THEN 1700000000 WHEN 3 THEN 1700000123
+                         ELSE 86400 END AS BIGINT) AS ts_sec,
+             cast(CASE m WHEN 3 THEN 456000000 ELSE 0 END AS BIGINT) AS ts_ns
+           FROM prom WHERE m IN (0, 2, 3, 5, 6)"""),
+
+      "prom_relabel" -> withCte(
+        """, prom AS (
+             SELECT conv_id, turn_idx, mod(turn_idx, 8) AS m, tool, role
+             FROM transcripts WHERE mod(turn_idx, 8) IN (0, 5)),
+           h AS (
+             SELECT *, cast(cast(('0x' || substr(md5(
+               CASE WHEN m = 0 THEN tool ELSE '' END), 17, 16)) AS UBIGINT)
+               % 7 AS VARCHAR) AS shard
+             FROM prom)
+           SELECT conv_id, turn_idx,
+             CASE m WHEN 0 THEN 'req_total' ELSE 'up' END AS name,
+             'role=' || role || ',role_up=' || upper(role) || ',shard=' || shard
+               || CASE WHEN m = 0 THEN ',tool=' || tool ELSE '' END
+               || CASE WHEN role = 'user' THEN ',who=ue' ELSE '' END
+               || ',xxle=' || role AS labels_str,
+             CASE m WHEN 0 THEN cast(turn_idx AS DOUBLE) ELSE 1.0 END AS value
+           FROM h"""),
 
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies,
