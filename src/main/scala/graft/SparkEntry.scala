@@ -419,6 +419,42 @@ object SparkEntry {
           promLabelsStr(col("labels")).as("labels_str"), col("value"))
     },
 
+    // -- syslog frame parse (§2 service inputs) ------------------------------
+    "syslog_3164" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m3 = pmod(col("turn_idx"), lit(3))
+      val pri = pmod(col("turn_idx"), lit(192))
+      val raw = t.withColumn("line",
+        when(m3 === 0, concat(lit("<"), pri, lit(">Oct  9 14:36:47 h-"),
+          col("role"), lit(" "), col("tool"), lit("["), col("turn_idx"),
+          lit("]: call "), col("role"), lit(" "), col("turn_idx")))
+          .when(m3 === 1, concat(lit("<34>Aug  2 09:49:23 w-"), col("role"),
+            lit(" su: done "), col("turn_idx")))
+          .otherwise(col("text"))) // transcript text → parse failure
+      SyslogOps.Rfc3164(year = 2025)(raw, "line", ignoreParseFailure = true)
+        .select("conv_id", "turn_idx", "_hostname_", "_program_",
+          "_process_id_", "_priority_", "_facility_", "_severity_", "_ts_",
+          "_content_")
+    },
+    "syslog_5424" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m2 = pmod(col("turn_idx"), lit(2))
+      val pri = pmod(col("turn_idx"), lit(192))
+      val raw = t.withColumn("line",
+        when(m2 === 0, concat(lit("<"), pri, lit(">1 2016-02-21T04:32:57Z h-"),
+          col("role"), lit(" "), col("tool"), lit(" "), col("turn_idx"),
+          lit(" ID"), col("turn_idx"), lit(" [meta role=\""), col("role"),
+          lit("\" seq=\""), col("turn_idx"), lit("\"] GET /x "),
+          col("turn_idx")))
+          .otherwise(concat(
+            lit("<34>1 2003-10-11T22:14:15.003Z m.example su - ID47 - BOM failed "),
+            col("turn_idx"))))
+      SyslogOps.Rfc5424()(raw, "line", ignoreParseFailure = true)
+        .select("conv_id", "turn_idx", "_hostname_", "_program_",
+          "_process_id_", "_message_id_", "_priority_", "_facility_",
+          "_severity_", "_ts_", "_structured_data_", "_content_")
+    },
+
     // -- training-data ops (prompt: dedup / text analysis / similarity) ------
     "dedup_exact" -> { (s, dir) =>
       tbl(s, dir, "documents")
@@ -948,6 +984,49 @@ object SparkEntry {
                || ',xxle=' || role AS labels_str,
              CASE m WHEN 0 THEN cast(turn_idx AS DOUBLE) ELSE 1.0 END AS value
            FROM h"""),
+
+      // like the prom oracle: the fixture is deterministic in
+      // (turn_idx, role, tool), so expected output is reconstructed from
+      // those columns, independent of the parse regexes
+      "syslog_3164" -> withCte(
+        """, sys AS (
+             SELECT conv_id, turn_idx, mod(turn_idx, 3) AS m,
+                    mod(turn_idx, 192) AS pri, role, tool, text
+             FROM transcripts)
+           SELECT conv_id, turn_idx,
+             CASE m WHEN 0 THEN 'h-' || role WHEN 1 THEN 'w-' || role
+                    ELSE '' END AS "_hostname_",
+             CASE m WHEN 0 THEN tool WHEN 1 THEN 'su' ELSE '' END AS "_program_",
+             CASE WHEN m = 0 THEN cast(turn_idx AS VARCHAR) END AS "_process_id_",
+             cast(CASE m WHEN 0 THEN pri WHEN 1 THEN 34 ELSE -1 END AS INT) AS "_priority_",
+             cast(CASE m WHEN 0 THEN pri // 8 WHEN 1 THEN 4 ELSE -1 END AS INT) AS "_facility_",
+             cast(CASE m WHEN 0 THEN mod(pri, 8) WHEN 1 THEN 2 ELSE -1 END AS INT) AS "_severity_",
+             CASE m WHEN 0 THEN TIMESTAMP '2025-10-09 14:36:47'
+                    WHEN 1 THEN TIMESTAMP '2025-08-02 09:49:23' END AS "_ts_",
+             CASE m WHEN 0 THEN 'call ' || role || ' ' || turn_idx
+                    WHEN 1 THEN 'done ' || turn_idx ELSE text END AS "_content_"
+           FROM sys"""),
+
+      "syslog_5424" -> withCte(
+        """, sys AS (
+             SELECT conv_id, turn_idx, mod(turn_idx, 2) AS m,
+                    mod(turn_idx, 192) AS pri, role, tool
+             FROM transcripts)
+           SELECT conv_id, turn_idx,
+             CASE m WHEN 0 THEN 'h-' || role ELSE 'm.example' END AS "_hostname_",
+             CASE m WHEN 0 THEN tool ELSE 'su' END AS "_program_",
+             CASE WHEN m = 0 THEN cast(turn_idx AS VARCHAR) END AS "_process_id_",
+             CASE m WHEN 0 THEN 'ID' || turn_idx ELSE 'ID47' END AS "_message_id_",
+             cast(CASE m WHEN 0 THEN pri ELSE 34 END AS INT) AS "_priority_",
+             cast(CASE m WHEN 0 THEN pri // 8 ELSE 4 END AS INT) AS "_facility_",
+             cast(CASE m WHEN 0 THEN mod(pri, 8) ELSE 2 END AS INT) AS "_severity_",
+             CASE m WHEN 0 THEN TIMESTAMP '2016-02-21 04:32:57'
+                    ELSE TIMESTAMP '2003-10-11 22:14:15.003' END AS "_ts_",
+             CASE m WHEN 0 THEN 'meta{role=' || role || ',seq=' || turn_idx || '}'
+                    ELSE '' END AS "_structured_data_",
+             CASE m WHEN 0 THEN 'GET /x ' || turn_idx
+                    ELSE 'BOM failed ' || turn_idx END AS "_content_"
+           FROM sys"""),
 
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies,
