@@ -221,6 +221,54 @@ object PipelineConfig {
     },
     "content_value_group" -> { n =>
       GroupOps.ContentValueGroup(strs(n, "keys")).apply _
+    },
+    "parse_container_cri" -> { n =>
+      ContainerOps.CriParser(strOpt(n, "sourceKey").getOrElse("text"),
+        ignoringStdout = bool(n, "ignoringStdout", false),
+        ignoringStderr = bool(n, "ignoringStderr", false),
+        keepingSourceWhenParseFail = bool(n, "keepSourceOnFail", true)).apply _
+    },
+    "parse_container_docker" -> { n =>
+      ContainerOps.DockerJsonParser(strOpt(n, "sourceKey").getOrElse("text"),
+        ignoringStdout = bool(n, "ignoringStdout", false),
+        ignoringStderr = bool(n, "ignoringStderr", false),
+        keepingSourceWhenParseFail = bool(n, "keepSourceOnFail", true)).apply _
+    },
+    "parse_syslog" -> { n =>
+      // the reference's ParseProtocol config (syslog.go); format names
+      // follow parser.go's registry keys
+      val fmt: SyslogOps.Format = strOpt(n, "format").getOrElse("auto") match {
+        case "rfc5424" => SyslogOps.Rfc5424()
+        case f @ ("rfc3164" | "auto") =>
+          val h = bool(n, "hasHostname", true)
+          val d = strOpt(n, "defaultHostname").getOrElse("")
+          val y = int(n, "year", 2025)
+          if (f == "rfc3164") SyslogOps.Rfc3164(h, d, y)
+          else SyslogOps.Auto(h, d, y)
+        case other =>
+          throw new IllegalArgumentException(s"syslog format '$other'")
+      }
+      df => fmt(df, strOpt(n, "sourceKey").getOrElse("line"),
+        bool(n, "ignoreParseFailure", true))
+    },
+    "prom_parse" -> { n =>
+      PromOps.TextParser(strOpt(n, "sourceKey").getOrElse("text"),
+        honorTimestamps = bool(n, "honorTimestamps", true),
+        defaultTsSec = int(n, "defaultTsSec", 0).toLong).apply _
+    },
+    "prom_relabel" -> { n =>
+      val rules = Option(n.get("rules")).toSeq.flatMap(_.elements.asScala)
+        .map { r =>
+          PromOps.RelabelRule(str(r, "action"),
+            sourceLabels = strs(r, "sourceLabels"),
+            separator = strOpt(r, "separator").getOrElse(";"),
+            targetLabel = strOpt(r, "targetLabel").getOrElse(""),
+            regex = strOpt(r, "regex").getOrElse("(.*)"),
+            replacement = strOpt(r, "replacement").getOrElse("$1"),
+            modulus = int(r, "modulus", 0).toLong,
+            matchList = strs(r, "matchList").toSet)
+        }
+      PromOps.Relabel(rules.toSeq).apply _
     })
 
   /** Recursive EXPRESSION_MODE condition tree from config:

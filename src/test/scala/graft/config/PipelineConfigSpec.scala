@@ -98,7 +98,15 @@ class PipelineConfigSpec extends AnyFunSuite {
       "drop_last_key" -> """{"type":"drop_last_key","dropKey":"text","includeKeys":["role"]}""",
       "log_to_metric" -> """{"type":"log_to_metric","labelKeys":["role"],"valueKeys":["turn_idx"]}""",
       "shardhash" -> """{"type":"shardhash","keys":["conv_id"],"buckets":16}""",
-      "content_value_group" -> """{"type":"content_value_group","keys":["role","tool"]}""")
+      "content_value_group" -> """{"type":"content_value_group","keys":["role","tool"]}""",
+      "parse_container_cri" -> """{"type":"parse_container_cri","sourceKey":"text"}""",
+      "parse_container_docker" -> """{"type":"parse_container_docker","sourceKey":"text"}""",
+      "parse_syslog" -> """{"type":"parse_syslog","sourceKey":"text","format":"auto"}""",
+      "prom_parse" -> """{"type":"prom_parse","sourceKey":"promline"}""",
+      // relabel needs the parsed (name, labels) frame, so its minimal
+      // config is a two-stage chain (the harness splices into the array)
+      "prom_relabel" -> ("""{"type":"prom_parse","sourceKey":"promline"},""" +
+        """{"type":"prom_relabel","rules":[{"action":"labeldrop","regex":"a"}]}"""))
     assert(minimal.keySet == PipelineConfig.registry.keySet,
       s"test must cover every registry type; missing: " +
         (PipelineConfig.registry.keySet -- minimal.keySet))
@@ -108,6 +116,8 @@ class PipelineConfigSpec extends AnyFunSuite {
       .withColumn("kvmap", org.apache.spark.sql.functions.map(
         org.apache.spark.sql.functions.lit("a"),
         org.apache.spark.sql.functions.lit("b")))
+      .withColumn("promline",
+        org.apache.spark.sql.functions.lit("""m{a="b"} 1"""))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)
@@ -302,5 +312,44 @@ class PipelineConfigSpec extends AnyFunSuite {
         |""".stripMargin
     val e = intercept[IllegalArgumentException](PipelineConfig.parse(both))
     assert(e.getMessage.contains("topic"))
+  }
+
+  test("syslog, prom, and container processors resolve from config") {
+    import graft.SparkTestSession.textDf
+    val sys = PipelineConfig.parse(
+      """processors:
+        |  - type: parse_syslog
+        |    sourceKey: text
+        |    format: auto
+        |    year: 2025
+        |""".stripMargin)(textDf(
+      "<60>Oct 09 14:36:47 hostname program: message"))
+    assert(sys.select("_program_").head.getString(0) == "program")
+
+    val prom = PipelineConfig.parse(
+      """processors:
+        |  - type: prom_parse
+        |    sourceKey: text
+        |    defaultTsSec: 42
+        |  - type: prom_relabel
+        |    rules:
+        |      - {action: replace, sourceLabels: [app], targetLabel: svc,
+        |         regex: "w(e)b", replacement: "x$1"}
+        |      - {action: labeldrop, regex: app}
+        |""".stripMargin)(textDf("""reqs{app="web"} 5"""))
+    val row = prom.select("name", "value", "ts_sec", "labels").head
+    assert(row.getString(0) == "reqs" && row.getDouble(1) == 5.0 &&
+      row.getLong(2) == 42L &&
+      row.getMap[String, String](3) == Map("svc" -> "xe"))
+
+    val cri = PipelineConfig.parse(
+      """processors:
+        |  - type: parse_container_cri
+        |    ignoringStderr: true
+        |""".stripMargin)(textDf(
+      "2025-01-01T00:00:00Z stdout F hello",
+      "2025-01-01T00:00:00Z stderr F dropped"))
+    assert(cri.select("content").collect().map(_.getString(0)).toSeq ==
+      Seq("hello"))
   }
 }
