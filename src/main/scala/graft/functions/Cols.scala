@@ -25,4 +25,21 @@ object Cols {
   def let2(e1: Column, e2: Column)(f: (Column, Column) => Column): Column =
     let(struct(e1.as("_1"), e2.as("_2")))(s =>
       f(s.getField("_1"), s.getField("_2")))
+
+  /** Pack all `n` capture groups of one matching regex in a SINGLE
+    * match: one `regexp_replace` + one `split` instead of n
+    * `regexp_extract` calls (each of which re-runs the whole match —
+    * CLAUDE.md lesson, 1.65× end-to-end on the transcript parse).
+    * Unmatched optional groups come back as "" exactly like
+    * `regexp_extract`; rows that CONTAIN the `\u0001` delimiter (would
+    * shift the split) fall back to per-group extraction. Result is
+    * 1-indexed via `element_at`. Callers gate on their own match
+    * predicate — on a non-matching row the replace is identity and the
+    * packed array is garbage. */
+  def packGroups(src: Column, regex: String, n: Int): Column = {
+    val repl = (1 to n).map("$" + _).mkString("\u0001")
+    when(!src.contains("\u0001"),
+      split(regexp_replace(src, regex, repl), "\u0001", -1))
+      .otherwise(array((1 to n).map(i => regexp_extract(src, regex, i)): _*))
+  }
 }

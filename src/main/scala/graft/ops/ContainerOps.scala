@@ -55,13 +55,7 @@ object ContainerOps {
     def apply(df: DataFrame): DataFrame = {
       val src = col(sourceKey)
       val ok = src.isNotNull && src.rlike(regex)
-      // one regexp pass packs all 4 groups (N regexp_extract calls = N
-      // full matches — CLAUDE.md lesson); delimiter-containing content
-      // falls back to per-group extraction
-      val repl = (1 to 4).map("$" + _).mkString("\u0001")
-      val packed = when(!src.contains("\u0001"),
-        split(regexp_replace(src, regex, repl), "\u0001", -1))
-        .otherwise(array((1 to 4).map(i => regexp_extract(src, regex, i)): _*))
+      val packed = graft.functions.Cols.packGroups(src, regex, 4)
       val g = "__cri_groups__"
       val parsed = df
         .withColumn(g, when(ok, packed))
@@ -112,12 +106,17 @@ object ContainerOps {
       val parsed = df.withColumn(g, try_parse_json(src))
       val pv = col(g)
       def f(name: String) = try_variant_get(pv, "$." + name, "string")
-      // try_parse_json accepts trailing garbage after the object; the
-      // reference consumes the whole line, so also require it to END at
-      // the object (`\n\z` not `\n$`: Java `$` also matches BEFORE a
-      // final newline, which would strip two trailing newlines)
+      // try_parse_json accepts trailing garbage after the first object;
+      // the reference requires the line to BE the object — first byte
+      // `{`, last byte `}`, nothing outside (ParseDockerLog cpp:356-375,
+      // no trimming). A strings-aware whole-line regex enforces that:
+      // outside quoted strings no brace may appear, so a second object
+      // or trailing junk cannot slip past (nested-object values fail
+      // the regex AND the strict schema — consistent).
+      val wholeObject =
+        src.rlike("\\A\\{(?:[^{}\"]|\"(?:[^\"\\\\]|\\\\.)*\")*\\}\\z")
       val ok = schema_of_variant(pv) === strictSchema &&
-        f("stream").isin("stdout", "stderr") && rtrim(src).endsWith("}")
+        f("stream").isin("stdout", "stderr") && wholeObject
       val out = parsed
         .withColumn(TimeKey, when(ok, f("time")))
         .withColumn(SourceKey, when(ok, f("stream")))
@@ -155,16 +154,24 @@ object ContainerOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     val rec = coalesce(
       sum(when(col(partialCol), 0).otherwise(1)).over(w), lit(0L))
+    // content assembly: collect_list over an ORDERED full-frame window
+    // (elements come out in partition-sort order), NOT
+    // array_sort(collect_list(struct))+transform — CLAUDE.md documents
+    // that shape as result-unstable, and this column feeds a
+    // hash-verified oracle query
+    val wRec = Window.partitionBy(col(keyCol), col("__rec__"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.withColumn("__rec__", rec)
+      .withColumn("__rec_content__",
+        array_join(collect_list(col(contentCol)).over(wRec), ""))
       .groupBy(col(keyCol), col("__rec__").as("record"))
       .agg(
         min(col(orderCol)).as("first_turn"),
         count(lit(1)).as("n_lines"),
         min_by(col(TimeKey), col(orderCol)).as("time_first"),
         min_by(col(SourceKey), col(orderCol)).as("source"),
-        array_join(transform(
-          array_sort(collect_list(struct(col(orderCol).as("i"),
-            col(contentCol).as("c")))),
-          x => x.getField("c")), "").as(contentCol))
+        // every row in the record carries the identical windowed value
+        first(col("__rec_content__")).as(contentCol))
   }
 }

@@ -41,19 +41,9 @@ object ParseOps {
           }
           opts.finish(df, sourceKey, ok, fields)
         } else {
-          // Single-match extraction: one regexp_replace packs every
-          // capture group with a \u0001 delimiter, one split unpacks —
-          // 2 regex executions instead of keys.size+1 (a per-key
-          // regexp_extract re-runs the whole match). Unmatched optional
-          // groups substitute "" exactly like regexp_extract.
-          // Rows whose source CONTAINS the \u0001 delimiter (would shift
-          // the split) fall back to per-group regexp_extract -- rare, so
-          // the packed fast path still dominates.
-          val repl = (1 to keys.size).map("$" + _).mkString("\u0001")
-          val packed = when(!src.contains("\u0001"),
-            split(regexp_replace(src, anchored, repl), "\u0001", -1))
-            .otherwise(array(keys.indices.map(i =>
-              regexp_extract(src, anchored, i + 1)): _*))
+          // Single-match extraction (Cols.packGroups): 2 regex
+          // executions instead of keys.size+1.
+          val packed = graft.functions.Cols.packGroups(src, anchored, keys.size)
           val arrCol = "__rx_groups__"
           val d = df.withColumn(arrCol, when(ok, packed))
           val fields = keys.zipWithIndex.map { case (k, i) =>

@@ -126,15 +126,23 @@ object PromOps {
         .filter(col(g).isNotNull)
       val pv = col(g)
       val pairRe = "([A-Za-z_][A-Za-z0-9_]*)[ \\t]*=[ \\t]*\"((?:[^\"\\\\]|\\\\.)*)\""
-      val labels = map_from_arrays(
+      // duplicate label names: the reference's SetTag overwrites
+      // (last wins); map_from_arrays would THROW on duplicates under
+      // the default dedup policy, so keep only the last occurrence of
+      // each key before building the map (labels are short — the O(k²)
+      // exists-scan is a few comparisons)
+      val labels = Cols.let2(
         regexp_extract_all(pv.getField("block"), lit(pairRe), lit(1)),
         transform(
           regexp_extract_all(pv.getField("block"), lit(pairRe), lit(2)),
-          v => unescapeLabelValue(v)))
-      // duplicate label names: the reference's SetTag overwrites —
-      // map_from_arrays keeps the LAST occurrence under LAST_WIN; keep
-      // first-parse simple by deduping keys first (exposition format
-      // forbids duplicates anyway)
+          v => unescapeLabelValue(v))) { (ks, vs) =>
+        Cols.let(zip_with(ks, vs,
+          (k, v) => struct(k.as("key"), v.as("value")))) { ents =>
+          map_from_entries(filter(ents, (e, i) =>
+            !exists(slice(ents, i + lit(2), size(ents)), e2 =>
+              e2.getField("key") === e.getField("key"))))
+        }
+      }
       val value = stodPrefix(pv.getField("valtok"))
       val tsRaw = stodPrefix(pv.getField("tstok"))
       val tsMs = when(tsRaw < (1L << 31), tsRaw * 1000).otherwise(tsRaw)
@@ -182,8 +190,9 @@ object PromOps {
 
   private val NameLabel = "__name__"
 
-  /** Count capturing groups of a Java regex (escapes and `(?...)`
-    * constructs excluded; char-class contents ignored). */
+  /** Count capturing groups of a Java regex: plain `(` and named
+    * `(?<name>…)` groups (both numbered by Java); `(?:`/`(?=`/`(?!`/
+    * lookbehind `(?<=`/`(?<!` and char-class contents excluded. */
   private[ops] def countGroups(regex: String): Int = {
     var i = 0; var n = 0; var inClass = false
     while (i < regex.length) {
@@ -192,7 +201,12 @@ object PromOps {
         case '[' if !inClass => inClass = true
         case ']' if inClass => inClass = false
         case '(' if !inClass =>
-          if (i + 1 >= regex.length || regex.charAt(i + 1) != '?') n += 1
+          val plain = i + 1 >= regex.length || regex.charAt(i + 1) != '?'
+          // (?<name>…) is a CAPTURING group; (?<= and (?<! are not
+          val named = !plain && i + 2 < regex.length &&
+            regex.charAt(i + 2) == '<' && i + 3 < regex.length &&
+            regex.charAt(i + 3) != '=' && regex.charAt(i + 3) != '!'
+          if (plain || named) n += 1
         case _ =>
       }
       i += 1
@@ -202,11 +216,16 @@ object PromOps {
 
   /** boost::regex_replace(…, format_first_only): substitute the FIRST
     * match of `regex` inside `v` with the expanded template, keeping
-    * prefix and suffix. Emulated by capturing the rest of the string as
-    * one extra group so a single all-replace can only fire once. */
+    * prefix and suffix. Emulated as ONE whole-string anchored match —
+    * `^(lazy prefix)(regex)(rest)$` — so an empty-matching regex (the
+    * default `(.*)`!) cannot fire a second time at end-of-input; the
+    * prefix group shifts the template's `$N` references by one. */
   private def firstOnlyReplace(v: Column, regex: String, tmpl: String): Column = {
-    val rest = countGroups(regex) + 1
-    regexp_replace(v, s"(?s)(?:$regex)([\\s\\S]*)", tmpl + "$" + rest)
+    val n = countGroups(regex)
+    val shifted = "\\$(\\d+)".r.replaceAllIn(tmpl,
+      m => "\\$" + (m.group(1).toInt + 1))
+    regexp_replace(v, s"(?s)^([\\s\\S]*?)(?:$regex)([\\s\\S]*)$$",
+      "$1" + shifted + "$" + (n + 2))
   }
 
   /** Apply relabel rules to a parsed metric frame. Row-dropping actions

@@ -66,8 +66,9 @@ object RouteOps {
     *
     * Reference: `plugins/flusher/kafkav2/flusher_kafka_v2.go:234-239,
     * 296-306` (per-log `FormatTopic`), grammar
-    * `pkg/fmtstr/formatstring.go:104,416-420` (`%{key}` tokens, `%%` →
-    * literal percent), fallback `pkg/fmtstr/format_topic.go:18-24`: a
+    * `pkg/fmtstr/formatstring.go:104,415-424` (`%{key}` tokens; a `%`
+    * not followed by `{` falls through as a literal — there is no `%%`
+    * escape), fallback `pkg/fmtstr/format_topic.go:18-24`: a
     * key absent from the value map substitutes ITS OWN NAME. Keys carry
     * the converter's `content.` / `tag.` prefixes
     * (`pkg/protocol/converter/converter.go:46-47`) — both address the
@@ -80,17 +81,19 @@ object RouteOps {
   final case class TopicTemplate(pattern: String, sinkCol: String = "__sink__") {
     require(pattern.nonEmpty, "empty topic pattern")
 
-    /** (literal-before, key) pairs + trailing literal. */
+    /** (literal-before, key) pairs + trailing literal. The reference
+      * lexer has NO `%%` escape — a `%` not followed by `{` is already
+      * literal (fmtstr/formatstring.go:415-424 falls through), so
+      * literals pass through untouched. */
     private val (parts: Seq[(String, String)], tail: String) = {
       val token = "%\\{([^}]*)\\}".r
       val ps = Seq.newBuilder[(String, String)]
       var last = 0
       for (m <- token.findAllMatchIn(pattern)) {
-        ps += ((pattern.substring(last, m.start).replace("%%", "%"),
-          m.group(1)))
+        ps += ((pattern.substring(last, m.start), m.group(1)))
         last = m.end
       }
-      (ps.result(), pattern.substring(last).replace("%%", "%"))
+      (ps.result(), pattern.substring(last))
     }
 
     /** Referenced keys with their converter prefix stripped. */

@@ -145,7 +145,11 @@ object SimilarityOps {
         cellCol: String = "cell"): DataFrame = {
       val spark = df.sparkSession
       val vd = transform(col(vecCol), x => x.cast("double"))
+      // group on a TRANSIENT per-row key, not idCol: grouping by idCol
+      // would silently collapse rows sharing (or null) ids — assign must
+      // be row-preserving like the projection it replaced
       val prepped = df
+        .withColumn("__rid__", monotonically_increasing_id())
         .withColumn("__v__", vd)
         .withColumn("__nv__",
           sqrt(aggregate(col("__v__"), lit(0.0), (acc, x) => acc + x * x)))
@@ -155,7 +159,7 @@ object SimilarityOps {
         .withColumn("__cos__", dot / (col("__nv__") * col("__cnorm__")))
       val carried = struct(df.columns.map(col): _*)
       scored
-        .groupBy(col(idCol).as("__gid__"))
+        .groupBy(col("__rid__"))
         .agg(max_by(struct(carried.as("o"), col("__cell__").as("c")),
           struct(col("__cos__"), col("__cell__"))).as("__best__"))
         .select(col("__best__.o.*"),

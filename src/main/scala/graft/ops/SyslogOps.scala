@@ -49,15 +49,8 @@ object SyslogOps {
         fields(col(sourceKey)))
   }
 
-  /** Pack all capture groups of one anchored regex in a single match
-    * (one regexp_replace + split; same idiom as RegexParser) — groups
-    * come back 1-indexed via element_at. */
-  private def packGroups(src: Column, anchored: String, n: Int): Column = {
-    val repl = (1 to n).map("$" + _).mkString("\u0001")
-    when(!src.contains("\u0001"),
-      split(regexp_replace(src, anchored, repl), "\u0001", -1))
-      .otherwise(array((1 to n).map(i => regexp_extract(src, anchored, i)): _*))
-  }
+  private def packGroups(src: Column, anchored: String, n: Int): Column =
+    Cols.packGroups(src, anchored, n)
 
   private def monthNum(mon: Column): Column =
     nullif(array_position(array(MonthNames.map(lit): _*), mon), lit(0L))

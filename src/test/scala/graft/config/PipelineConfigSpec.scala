@@ -283,6 +283,12 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(sinks("user") == "logs_user_tag.nope")
     assert(sinks("assistant") == "logs_assistant_tag.nope")
 
+    // a bare % is a literal (the reference lexer has no %% escape:
+    // fmtstr/formatstring.go:415-424)
+    val pct = RouteOps.TopicTemplate("cpu%%mem_%{content.role}")
+    assert(pct(input).select("__sink__").distinct().collect()
+      .map(_.getString(0)).forall(_.startsWith("cpu%%mem_")))
+
     // config-driven: the templated sink flows into the fan-out writer
     val dir = java.nio.file.Files.createTempDirectory("graft-topic").toString
     val yaml =

@@ -118,7 +118,12 @@ class ContainerOpsSpec extends AnyFunSuite {
       """{"log":"x\n","stream":"std","time":"t"}""", // invalid stream
       """{"log":"x\n","stream":"stdout","time":"t","attrs":{"a":"b"}}""", // extra key
       """not json at all""",
-      """{"log":"x\n","stream":"stdout","time":"t"} trailing""")
+      """{"log":"x\n","stream":"stdout","time":"t"} trailing""",
+      // trailing junk that itself ends in '}' — the object must consume
+      // the whole line (ParseDockerLog: closing '}' is the LAST byte)
+      """{"log":"x\n","stream":"stdout","time":"t"} {"a":"b"}""",
+      """{"log":"x\n","stream":"stdout","time":"t"} """, // trailing space
+      """ {"log":"x\n","stream":"stdout","time":"t"}""") // leading space
     val out = docker(bads: _*)
     assert(out.forall(m => m("_time_") == null && m("content") == null))
     // failures keep the raw source by default …

@@ -160,6 +160,23 @@ class DatasetOpsSpec extends AnyFunSuite {
     vecs.unpersist()
   }
 
+  test("ivf assign is row-preserving: duplicate and null ids all survive") {
+    val vecs = Seq(
+      (java.lang.Long.valueOf(1L), Seq(1f, 0f)),
+      (java.lang.Long.valueOf(1L), Seq(0f, 1f)), // duplicate id
+      (null.asInstanceOf[java.lang.Long], Seq(1f, 1f)),
+      (null.asInstanceOf[java.lang.Long], Seq(-1f, 1f)) // two null ids
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = SimilarityOps.IvfIndex(nlist = 2, nprobe = 1)
+      .assign(vecs, cents)
+    assert(out.count() == 4, "assign must not collapse rows by id")
+    // and each row still gets ITS OWN best cell, not a shared one
+    val cells = out.select("embedding", "cell").collect()
+      .map(r => r.getSeq[Float](0) -> r.getInt(1)).toMap
+    assert(cells(Seq(1f, 0f)) == 0 && cells(Seq(0f, 1f)) == 1)
+  }
+
   test("ivf k-means refinement: trained centroids move to cluster means") {
     // two tight clusters; sampled seeds (ids 0,1) both sit in cluster A,
     // Lloyd refinement must pull one centroid toward cluster B's mean

@@ -153,4 +153,44 @@ class PromOpsSpec extends AnyFunSuite {
     assert(PromOps.Relabel(Seq(PromOps.RelabelRule("dropmetric",
       matchList = Set("node_load"))))(base).count() == 2)
   }
+
+  test("replace: default regex (.*) copies a label exactly once, " +
+    "named groups count, first-only keeps prefix+suffix") {
+    def labels(m: Map[String, Any]) =
+      m("labels").asInstanceOf[Map[String, String]]
+    val base = PromOps.TextParser("text")(textDf("""m{job="api"} 1"""))
+
+    // the most common relabel config: plain label copy via defaults
+    val copied = collectMaps(PromOps.Relabel(Seq(PromOps.RelabelRule(
+      "replace", sourceLabels = Seq("job"), targetLabel = "env")))(base))
+    assert(labels(copied(0)) == Map("job" -> "api", "env" -> "api"))
+
+    // constant replacement must also fire exactly once
+    val const = collectMaps(PromOps.Relabel(Seq(PromOps.RelabelRule(
+      "replace", sourceLabels = Seq("job"), targetLabel = "env",
+      replacement = "prod")))(base))
+    assert(labels(const(0)) == Map("job" -> "api", "env" -> "prod"))
+
+    // named groups are numbered groups: the $rest index must account
+    // for them (boost substitution keeps the unmatched suffix in BOTH
+    // the target name and the value)
+    val named = collectMaps(PromOps.Relabel(Seq(PromOps.RelabelRule(
+      "replace", sourceLabels = Seq("job"), targetLabel = "who",
+      regex = "(?<v>ap)", replacement = "z")))(base))
+    assert(labels(named(0)) == Map("job" -> "api", "whoi" -> "zi"))
+
+    // first-only: prefix and suffix survive, later matches untouched
+    val mid = PromOps.TextParser("text")(textDf("""m{job="xaxa"} 1"""))
+    val fo = collectMaps(PromOps.Relabel(Seq(PromOps.RelabelRule(
+      "replace", sourceLabels = Seq("job"), targetLabel = "out",
+      regex = "a", replacement = "B")))(mid))
+    assert(labels(fo(0))("xoutxa") == "xBxa")
+  }
+
+  test("duplicate label names: last occurrence wins, no crash") {
+    val out = collectMaps(PromOps.TextParser("text")(textDf(
+      """m{a="1",b="x",a="2"} 3""")))
+    assert(out(0)("labels").asInstanceOf[Map[String, String]] ==
+      Map("a" -> "2", "b" -> "x"))
+  }
 }
