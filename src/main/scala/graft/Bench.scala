@@ -82,17 +82,30 @@ object Bench {
     // 4), deflating the bigger pair exactly when the host is loaded; a
     // real 4N-executor cluster adds whole sockets instead. The smaller
     // pair is the less-contended, more cluster-faithful proxy.
-    val levels = Seq(2, 4, 8, 16, 32)
+    // Scaling rounds sample only the PAIR levels (2,4,8,16) — local[32]
+    // contributes nothing to either N→4N pair, so its slot is better
+    // spent on two extra rounds: the efficiency estimate needs at least
+    // one quiet window per level, and more rounds = more windows
+    // sampled (2026-08-17 afternoon: a single 6-round run sat entirely
+    // inside one heavy-load window and read 0.66 where the morning
+    // windows read 0.86-0.97).
+    val pairLevels = Seq(2, 4, 8, 16)
+    val levels = pairLevels :+ 32
     val samples = scala.collection.mutable.Map(
       levels.map(_ -> List.empty[Double]): _*)
-    for (round <- 1 to 6; cpus <- levels) {
+    def timeLevel(cpus: Int, warm: Boolean): Unit = {
       val s = session(cpus)
       val full = TranscriptPipeline(s.read.parquet(inputDir))
       def run(): Unit = full.write.format("noop").mode("overwrite").save()
-      if (round == 1) run() // warmup (JIT/codegen, JVM-global)
+      if (warm) run() // warmup (JIT/codegen, JVM-global)
       samples(cpus) = samples(cpus) :+ timed(run())
       s.stop()
     }
+    for (round <- 1 to 8; cpus <- pairLevels)
+      timeLevel(cpus, warm = round == 1)
+    // peak single-host throughput, reported but outside the pairs
+    timeLevel(32, warm = true)
+    timeLevel(32, warm = false)
     val best = levels.map(c => c -> samples(c).min).toMap
     val rate = best.map { case (c, sec) => c -> turns / sec }
     // Efficiency estimation on a shared noisy host, two estimators:

@@ -455,6 +455,38 @@ object SparkEntry {
           "_severity_", "_ts_", "_structured_data_", "_content_")
     },
 
+    // -- wire-format metric decoders (§2 http service input formats) ---------
+    "influx_parse" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m4 = pmod(col("turn_idx"), lit(4))
+      val raw = t.withColumn("line",
+        when(m4 === 0, concat(lit("req,host=h-"), col("role"),
+          lit(",tool="), col("tool"), lit(" value="), col("turn_idx"),
+          lit("i 1434055562000000000")))
+          .when(m4 === 1, concat(lit("mem used="), col("turn_idx"),
+            lit(".5,peak="), col("turn_idx"), lit("0 1434055562000000001")))
+          .when(m4 === 2, concat(lit("evt,svc=s\\ "), col("role"),
+            lit(" ok=true,msg=\"call "), col("role"), lit("\"")))
+          .otherwise(col("text"))) // transcript text → no influx line
+      WireFormats.InfluxLineParser("line", fieldsExtend = true,
+        defaultTimeNano = 5L)(raw)
+        .select("conv_id", "turn_idx", "__name__", "__value__", "__labels__",
+          "__time_nano__", "__type__", "__field__")
+    },
+    "statsd_parse" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m3 = pmod(col("turn_idx"), lit(3))
+      val raw = t.withColumn("line",
+        when(m3 === 0, concat(lit("lat."), col("tool"), lit(":"),
+          col("turn_idx"), lit(".5|ms|@0.5|#role:"), col("role"),
+          lit(",svc:api")))
+          .when(m3 === 1, concat(lit("hits:"), col("turn_idx"), lit("|c")))
+          .otherwise(col("text")))
+      WireFormats.StatsdParser("line")(raw)
+        .select("conv_id", "turn_idx", "__name__", "__value__", "__stype__",
+          "__rate__", "__labels__", "__time_nano__")
+    },
+
     // -- training-data ops (prompt: dedup / text analysis / similarity) ------
     "dedup_exact" -> { (s, dir) =>
       tbl(s, dir, "documents")
@@ -493,6 +525,22 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(
         e.filter(col("vec_id") =!= 0),
         e.filter(col("vec_id") === 0), k = 10)
+    },
+
+    // -- deterministic sampling / mixing (training-data curation) ------------
+    "stratified_sample" -> { (s, dir) =>
+      val d = tbl(s, dir, "documents")
+        .withColumn("stratum",
+          when(length(col("text")) < 400, "short").otherwise("long"))
+      SampleOps.StratifiedSample("stratum", "doc_id",
+        Map("short" -> 0.25, "long" -> 0.75))(d)
+        .select("doc_id", "stratum")
+    },
+    "weighted_repeat" -> { (s, dir) =>
+      val d = tbl(s, dir, "documents")
+      SampleOps.WeightedRepeat("doc_id",
+        when(length(col("text")) < 400, lit(2.5)).otherwise(lit(0.5)))(d)
+        .select(col("doc_id"), col("__rep__"))
     },
 
     // -- dedup sketches (prompt: MinHash+LSH / SimHash / Jaccard) ------------
@@ -1027,6 +1075,70 @@ object SparkEntry {
              CASE m WHEN 0 THEN 'GET /x ' || turn_idx
                     ELSE 'BOM failed ' || turn_idx END AS "_content_"
            FROM sys"""),
+
+      "influx_parse" -> withCte(
+        """, base AS (
+             SELECT conv_id, turn_idx, mod(turn_idx, 4) AS m, role, tool
+             FROM transcripts)
+           SELECT conv_id, turn_idx, 'req' AS "__name__",
+             cast(turn_idx AS VARCHAR) AS "__value__",
+             'host#$#h-' || role || '|tool#$#' || tool AS "__labels__",
+             cast(1434055562000000000 AS BIGINT) AS "__time_nano__",
+             'int' AS "__type__", 'value' AS "__field__"
+           FROM base WHERE m = 0
+           UNION ALL
+           SELECT conv_id, turn_idx, 'mem:used',
+             cast(turn_idx AS VARCHAR) || '.5', '',
+             1434055562000000001, 'float', 'used' FROM base WHERE m = 1
+           UNION ALL
+           SELECT conv_id, turn_idx, 'mem:peak',
+             cast(turn_idx * 10 AS VARCHAR), '',
+             1434055562000000001, 'float', 'peak' FROM base WHERE m = 1
+           UNION ALL
+           SELECT conv_id, turn_idx, 'evt:ok', '1',
+             'svc#$#s ' || role, 5, 'boolean', 'ok' FROM base WHERE m = 2
+           UNION ALL
+           SELECT conv_id, turn_idx, 'evt:msg', 'call ' || role,
+             'svc#$#s ' || role, 5, 'string', 'msg' FROM base WHERE m = 2"""),
+
+      "statsd_parse" -> withCte(
+        """, base AS (
+             SELECT conv_id, turn_idx, mod(turn_idx, 3) AS m, role, tool
+             FROM transcripts)
+           SELECT conv_id, turn_idx, 'lat.' || tool AS "__name__",
+             turn_idx + 0.5 AS "__value__", 'ms' AS "__stype__",
+             0.5 AS "__rate__",
+             'role#$#' || role || '|svc#$#api' AS "__labels__",
+             cast(0 AS BIGINT) AS "__time_nano__"
+           FROM base WHERE m = 0
+           UNION ALL
+           SELECT conv_id, turn_idx, 'hits', cast(turn_idx AS DOUBLE),
+             'c', 1.0, '', 0 FROM base WHERE m = 1"""),
+
+      "stratified_sample" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CASE WHEN length(text) < 400 THEN 'short' ELSE 'long' END AS stratum
+             FROM documents)
+           SELECT doc_id, stratum FROM d
+           WHERE cast(('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
+                 / 4294967296.0
+               < CASE stratum WHEN 'short' THEN 0.25 ELSE 0.75 END""",
+
+      "weighted_repeat" ->
+        """WITH d AS (
+             SELECT doc_id,
+               CASE WHEN length(text) < 400 THEN 2.5 ELSE 0.5 END AS w,
+               cast(('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS u
+             FROM documents),
+           r AS (
+             SELECT doc_id,
+               cast(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS reps
+             FROM d)
+           SELECT doc_id, cast(t.i AS INT) AS "__rep__"
+           FROM r CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t
+           WHERE t.i < reps""",
 
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies,

@@ -256,6 +256,14 @@ object PipelineConfig {
         honorTimestamps = bool(n, "honorTimestamps", true),
         defaultTsSec = int(n, "defaultTsSec", 0).toLong).apply _
     },
+    "influx_parse" -> { n =>
+      WireFormats.InfluxLineParser(strOpt(n, "sourceKey").getOrElse("line"),
+        fieldsExtend = bool(n, "fieldsExtend", false),
+        defaultTimeNano = int(n, "defaultTimeNano", 0).toLong).apply _
+    },
+    "statsd_parse" -> { n =>
+      WireFormats.StatsdParser(strOpt(n, "sourceKey").getOrElse("line")).apply _
+    },
     "prom_relabel" -> { n =>
       val rules = Option(n.get("rules")).toSeq.flatMap(_.elements.asScala)
         .map { r =>

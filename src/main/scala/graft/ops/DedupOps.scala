@@ -181,7 +181,9 @@ object DedupOps {
     *
     * Duplicate clusters from LSH candidate generation are near-cliques
     * (every member shares a bucket with most others), so propagation
-    * converges in 2-3 rounds; `maxIter` bounds pathological chains. The
+    * converges in 2-3 rounds; a pointer-jump (path-doubling) step per
+    * round makes even pathological chains converge in O(log diameter)
+    * rounds, with `maxIter` as the final bound. The
     * per-iteration work is two hash joins + one aggregation — all
     * shuffle-partitioned by id, no driver data; the driver only
     * coordinates the loop and checks the (scalar) convergence count,
@@ -221,11 +223,24 @@ object DedupOps {
       val msgs = withLabels.select(col("u").as("id"), col("cand"))
         .union(withLabels.select(col("v").as("id"), col("cand")))
         .groupBy("id").agg(min(col("cand")).as("cand"))
-      val nextRaw = labels.join(msgs, Seq("id"), "left")
+      // the propagation result is lineage-truncated (localCheckpoint)
+      // BEFORE the self-join below: the jump references prop twice, so
+      // an un-truncated plan would double in size every iteration —
+      // exponential plan growth between checkpoints
+      val prop = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("cand"), col("comp"))).as("comp"))
-      // localCheckpoint every k generations cuts the accumulated plan;
-      // cache() in between keeps the per-iteration cost one shuffle
+        .localCheckpoint()
+      // pointer jump (path doubling): follow comp → label(comp) once per
+      // round, so the reachable min-label distance DOUBLES instead of
+      // advancing one hop — chains converge in O(log diameter) rounds
+      // (comp is always a node id, so the self-join always resolves)
+      val nextRaw = prop.join(
+        prop.select(col("id").as("comp"), col("comp").as("__cc__")),
+        Seq("comp"), "left")
+        .select(col("id"), coalesce(col("__cc__"), col("comp")).as("comp"))
+      // localCheckpoint every k generations also truncates the jumped
+      // generation; cache() in between keeps per-iteration cost low
       val next =
         if ((iter + 1) % checkpointEvery == 0) nextRaw.localCheckpoint()
         else nextRaw.cache()

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+
+/** Wire-format metric decoders of the HTTP service input — the
+  * influxdb line protocol and (dog)statsd frame formats
+  * (`plugins/input/httpserver` selects a decoder by Format;
+  * `pkg/protocol/decoder/{influxdb,statsd}/decoder.go`).
+  *
+  * Both decode to the reference's metric-log shape
+  * (`pkg/helper/log_helper.go:258-296`): `__name__`, `__value__`,
+  * `__labels__` (sorted `k#$#v|`-joined), `__time_nano__` — the same
+  * layout `FieldOps.LogToMetric` produces, so decoded wire metrics
+  * compose with the metric pipeline unchanged.
+  *
+  * Reference semantics kept (influx, `decoder.go:159-222`):
+  * one OUTPUT ROW PER FIELD; `__name__` = measurement, or
+  * `measurement:field` for fields other than `value`; float rendered
+  * shortest (`strconv 'g'`: `1.0` → "1"), int `42i` → "42", bool →
+  * "1"/"0"; string fields only with `fieldsExtend` (which also adds
+  * `__type__` and `__field__`). Malformed LINES are dropped here,
+  * where the reference rejects the whole HTTP payload (400) — a batch
+  * table has no request boundary to reject (documented divergence).
+  * Absent timestamps take `defaultTimeNano` rather than arrival time
+  * (deterministic over re-runs).
+  */
+object WireFormats {
+
+  private val LabelSep = "#$#"
+
+  /** Unescape influx identifier escapes: `\,` `\ ` `\=` (and a literal
+    * `\\` stays `\` + next char per the line-protocol reader). */
+  private def unescapeIdent(c: Column): Column =
+    when(!c.contains("\\"), c).otherwise(
+      regexp_replace(c, "\\\\([, =\\\\])", "$1"))
+
+  /** Influx line protocol:
+    * `meas[,tag=v…] field=val[,field=val…] [ts]`. */
+  final case class InfluxLineParser(
+      sourceKey: String = "line",
+      fieldsExtend: Boolean = false,
+      defaultTimeNano: Long = 0L) {
+
+    private val ident = "(?:[^,\\\\ =]|\\\\.)+"
+    private val meas = "(?:[^,\\\\ ]|\\\\.)+"
+    private val quoted = "\"(?:[^\"\\\\]|\\\\.)*\""
+    private val bare = "[^,\" ]+"
+    private val fieldPair = s"$ident=(?:$quoted|$bare)"
+    // groups: 1 measurement, 2 tag section, 3 field section, 4 ts
+    private[ops] val regex =
+      s"^($meas)((?:,$ident=$ident)*) " +
+        s"($fieldPair(?:,$fieldPair)*)(?: (-?\\d+))?$$"
+
+    private val tagRe = s",($ident)=($ident)"
+    private val fieldRe = s"(?:^|,)($ident)=($quoted|$bare)"
+
+    /** Go strconv 'g' shortest rendering for the doubles a fixture
+      * produces: integral → no ".0" (1.0 → "1"), else plain decimal. */
+    private def renderFloat(d: Column): Column =
+      when(d === d.cast("long").cast("double") && abs(d) < 1e15,
+        d.cast("long").cast("string"))
+        .otherwise(d.cast("string"))
+
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val ok = src.isNotNull && src.rlike(regex)
+      val g = Cols.packGroups(src, regex, 4)
+      val labels = Cols.let(g) { gg =>
+        array_join(array_sort(zip_with(
+          regexp_extract_all(element_at(gg, 2), lit(tagRe), lit(1)),
+          regexp_extract_all(element_at(gg, 2), lit(tagRe), lit(2)),
+          (k, v) => concat(unescapeIdent(k), lit(LabelSep), unescapeIdent(v)))),
+          "|")
+      }
+      val parsed = df
+        .filter(ok)
+        .withColumn("__ilp__", g)
+        .withColumn("__meas__", unescapeIdent(element_at(col("__ilp__"), 1)))
+        .withColumn("__labels__", labels)
+        .withColumn("__time_nano__",
+          coalesce(nullif(element_at(col("__ilp__"), 4), lit(""))
+            .cast("long"), lit(defaultTimeNano)))
+        .select(col("*"),
+          posexplode(zip_with(
+            regexp_extract_all(element_at(col("__ilp__"), 3), lit(fieldRe), lit(1)),
+            regexp_extract_all(element_at(col("__ilp__"), 3), lit(fieldRe), lit(2)),
+            (k, v) => struct(k.as("k"), v.as("v"))))
+            .as(Seq("__fidx__", "__field_kv__")))
+      val fkey = unescapeIdent(col("__field_kv__").getField("k"))
+      val fval = col("__field_kv__").getField("v")
+      val isStr = fval.startsWith("\"")
+      val isInt = fval.rlike("^-?\\d+i$")
+      val isBool = fval.rlike("^(?i)(t|true|f|false)$")
+      val asFloat = fval.try_cast("double")
+      val ftype = when(isStr, "string").when(isInt, "int")
+        .when(isBool, "boolean")
+        .when(asFloat.isNotNull, "float")
+      val fvalue = when(isStr,
+          // quoted string: strip quotes, unescape \" and \\
+          regexp_replace(regexp_replace(
+            fval.substr(lit(2), length(fval) - 2),
+            "\\\\\"", "\""), "\\\\\\\\", "\\\\"))
+        .when(isInt, regexp_replace(fval, "i$", ""))
+        .when(isBool, when(lower(fval).isin("t", "true"), "1").otherwise("0"))
+        .when(asFloat.isNotNull, renderFloat(asFloat))
+      val out = parsed
+        .withColumn("__ftype__", ftype)
+        .withColumn("__fkey__", fkey)
+        // unsupported field types drop (reference `continue`); strings
+        // drop unless fieldsExtend
+        .filter(col("__ftype__").isNotNull &&
+          (lit(fieldsExtend) || !isStr))
+        .withColumn("__name__",
+          when(col("__fkey__") === "value", col("__meas__"))
+            .otherwise(concat(col("__meas__"), lit(":"), col("__fkey__"))))
+        .withColumn("__value__", fvalue)
+      val extended =
+        if (fieldsExtend)
+          out.withColumn("__type__", col("__ftype__"))
+            .withColumn("__field__", col("__fkey__"))
+        else out
+      extended.drop("__ilp__", "__meas__", "__field_kv__", "__fidx__",
+        "__ftype__", "__fkey__")
+    }
+  }
+
+  /** (dog)statsd frame: `name:value|type[|@rate][|#k:v,…]`
+    * (`decoder/statsd/decoder.go:44-66` via the dogstatsd grammar);
+    * every frame becomes one metric log with a float value. */
+  final case class StatsdParser(
+      sourceKey: String = "line",
+      defaultTimeNano: Long = 0L) {
+
+    // groups: 1 name, 2 value, 3 type, 4 rate, 5 tags
+    private[ops] val regex =
+      "^([^:|#]+):(-?[0-9.]+)\\|(c|g|ms|h|s|d)" +
+        "(?:\\|@([0-9.]+))?(?:\\|#([^|]*))?$"
+
+    def apply(df: DataFrame): DataFrame = {
+      val src = col(sourceKey)
+      val ok = src.isNotNull && src.rlike(regex) &&
+        regexp_extract(src, regex, 2).try_cast("double").isNotNull
+      val g = Cols.packGroups(src, regex, 5)
+      val tagRe = "(?:^|,)([^:,]+):([^,]*)"
+      val labels = Cols.let(element_at(g, 5)) { t =>
+        array_join(array_sort(zip_with(
+          regexp_extract_all(t, lit(tagRe), lit(1)),
+          regexp_extract_all(t, lit(tagRe), lit(2)),
+          (k, v) => concat(k, lit(LabelSep), v))), "|")
+      }
+      df.filter(ok)
+        .withColumn("__sd__", g)
+        .withColumn("__name__", element_at(col("__sd__"), 1))
+        .withColumn("__value__",
+          element_at(col("__sd__"), 2).cast("double"))
+        .withColumn("__stype__", element_at(col("__sd__"), 3))
+        .withColumn("__rate__",
+          coalesce(nullif(element_at(col("__sd__"), 4), lit(""))
+            .cast("double"), lit(1.0)))
+        .withColumn("__labels__", labels)
+        .withColumn("__time_nano__", lit(defaultTimeNano))
+        .drop("__sd__")
+    }
+  }
+}

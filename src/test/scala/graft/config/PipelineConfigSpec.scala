@@ -103,6 +103,8 @@ class PipelineConfigSpec extends AnyFunSuite {
       "parse_container_docker" -> """{"type":"parse_container_docker","sourceKey":"text"}""",
       "parse_syslog" -> """{"type":"parse_syslog","sourceKey":"text","format":"auto"}""",
       "prom_parse" -> """{"type":"prom_parse","sourceKey":"promline"}""",
+      "influx_parse" -> """{"type":"influx_parse","sourceKey":"influxline"}""",
+      "statsd_parse" -> """{"type":"statsd_parse","sourceKey":"statsdline"}""",
       // relabel needs the parsed (name, labels) frame, so its minimal
       // config is a two-stage chain (the harness splices into the array)
       "prom_relabel" -> ("""{"type":"prom_parse","sourceKey":"promline"},""" +
@@ -118,6 +120,10 @@ class PipelineConfigSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lit("b")))
       .withColumn("promline",
         org.apache.spark.sql.functions.lit("""m{a="b"} 1"""))
+      .withColumn("influxline",
+        org.apache.spark.sql.functions.lit("m,h=x value=1"))
+      .withColumn("statsdline",
+        org.apache.spark.sql.functions.lit("m:1|c"))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)

@@ -341,20 +341,21 @@ class DatasetOpsSpec extends AnyFunSuite {
   }
 
   test("resolveDuplicatesDetailed: chain-shaped components, converged flag, checkpoint truncation") {
-    // a 12-node chain is the label-propagation worst case: the min
-    // label travels one hop per iteration
-    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a long chain is the label-propagation worst case; with the
+    // pointer-jump step the reachable distance doubles per round, so a
+    // 200-node chain (diameter 199) needs ~log2 rounds, not 199
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     // too few iterations → NOT converged, and the chain splits
     val (partial, convNo) =
-      DedupOps.resolveDuplicatesDetailed(chain, maxIter = 3)
+      DedupOps.resolveDuplicatesDetailed(chain, maxIter = 2)
     assert(!convNo)
     // labels still moving: the chain is split across several comp values
     assert(partial.select("comp").distinct().count() > 1)
-    // enough iterations (crossing two checkpointEvery boundaries, so the
-    // localCheckpoint lineage-truncation path is exercised) → converged,
-    // one component, survivor = min id
+    // O(log d) iterations (crossing two checkpointEvery boundaries, so
+    // the localCheckpoint lineage-truncation path is exercised) →
+    // converged, one component, survivor = min id
     val (full, convYes) =
-      DedupOps.resolveDuplicatesDetailed(chain, maxIter = 20,
+      DedupOps.resolveDuplicatesDetailed(chain, maxIter = 12,
         checkpointEvery = 5)
     assert(convYes)
     val rows = full.collect().map(x =>
