@@ -55,6 +55,10 @@ object PipelineConfig {
     else Map.empty
   private def bool(n: JsonNode, f: String, dflt: Boolean): Boolean =
     if (n.hasNonNull(f)) n.get(f).asBoolean else dflt
+  // asLong, not asInt: nanosecond epochs and hashmod moduli exceed
+  // Int32 — asInt would silently truncate a valid config value
+  private def lng(n: JsonNode, f: String, dflt: Long): Long =
+    if (n.hasNonNull(f)) n.get(f).asLong else dflt
   private def int(n: JsonNode, f: String, dflt: Int): Int =
     if (n.hasNonNull(f)) n.get(f).asInt else dflt
 
@@ -254,12 +258,12 @@ object PipelineConfig {
     "prom_parse" -> { n =>
       PromOps.TextParser(strOpt(n, "sourceKey").getOrElse("text"),
         honorTimestamps = bool(n, "honorTimestamps", true),
-        defaultTsSec = int(n, "defaultTsSec", 0).toLong).apply _
+        defaultTsSec = lng(n, "defaultTsSec", 0L)).apply _
     },
     "influx_parse" -> { n =>
       WireFormats.InfluxLineParser(strOpt(n, "sourceKey").getOrElse("line"),
         fieldsExtend = bool(n, "fieldsExtend", false),
-        defaultTimeNano = int(n, "defaultTimeNano", 0).toLong).apply _
+        defaultTimeNano = lng(n, "defaultTimeNano", 0L)).apply _
     },
     "statsd_parse" -> { n =>
       WireFormats.StatsdParser(strOpt(n, "sourceKey").getOrElse("line")).apply _
@@ -273,7 +277,7 @@ object PipelineConfig {
             targetLabel = strOpt(r, "targetLabel").getOrElse(""),
             regex = strOpt(r, "regex").getOrElse("(.*)"),
             replacement = strOpt(r, "replacement").getOrElse("$1"),
-            modulus = int(r, "modulus", 0).toLong,
+            modulus = lng(r, "modulus", 0L),
             matchList = strs(r, "matchList").toSet)
         }
       PromOps.Relabel(rules.toSeq).apply _

@@ -24,10 +24,15 @@ object SampleOps {
 
   /** Uniform [0,1) value derived from `key` (+`salt`), portable across
     * engines (DuckDB: `('0x'||substr(md5(key||':'||salt),1,8))::BIGINT
-    * / 4294967296.0`). */
-  def u01(key: Column, salt: Int = 0, portable: Boolean = true): Column =
-    (if (portable) PortableHash.md32(key, salt)
-     else PortableHash.fast32(key, salt)).cast("double") / (1L << 32)
+    * / 4294967296.0`). A NULL key hashes as the empty string — without
+    * that, u01(null) is null and every comparison against it is
+    * null-false, so null-keyed rows would silently vanish even from a
+    * rate-1.0 "keep everything" sample. */
+  def u01(key: Column, salt: Int = 0, portable: Boolean = true): Column = {
+    val k = coalesce(key.cast("string"), lit(""))
+    (if (portable) PortableHash.md32(k, salt)
+     else PortableHash.fast32(k, salt)).cast("double") / (1L << 32)
+  }
 
   /** Bernoulli sample at `rate` keyed on `keyCol` — deterministic,
     * content-stable (a re-run or a second engine keeps the same rows). */

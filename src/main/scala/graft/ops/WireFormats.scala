@@ -57,31 +57,42 @@ object WireFormats {
     private val fieldRe = s"(?:^|,)($ident)=($quoted|$bare)"
 
     /** Go strconv 'g' shortest rendering for the doubles a fixture
-      * produces: integral → no ".0" (1.0 → "1"), else plain decimal. */
+      * produces: integral → no ".0" (1.0 → "1"), else plain decimal.
+      * `try_cast` everywhere: the input is wire data, and under ANSI
+      * mode (session default) a plain double→long cast of 1e300 / NaN /
+      * Infinity — all of which the bare-value regex admits — would kill
+      * the job instead of falling through to the plain rendering. */
     private def renderFloat(d: Column): Column =
-      when(d === d.cast("long").cast("double") && abs(d) < 1e15,
-        d.cast("long").cast("string"))
+      when(abs(d) < 1e15 &&
+          d === d.try_cast("long").cast("double"),
+        d.try_cast("long").cast("string"))
         .otherwise(d.cast("string"))
 
     def apply(df: DataFrame): DataFrame = {
       val src = col(sourceKey)
       val ok = src.isNotNull && src.rlike(regex)
-      val g = Cols.packGroups(src, regex, 4)
-      val labels = Cols.let(g) { gg =>
+      // labels/ts/fields all read the packed-groups COLUMN (a bound
+      // attribute), never the packing expression itself — referencing
+      // the tree again would re-run the whole regex per use
+      def labelsOf(tagSection: Column) = Cols.let(tagSection) { t =>
         array_join(array_sort(zip_with(
-          regexp_extract_all(element_at(gg, 2), lit(tagRe), lit(1)),
-          regexp_extract_all(element_at(gg, 2), lit(tagRe), lit(2)),
+          regexp_extract_all(t, lit(tagRe), lit(1)),
+          regexp_extract_all(t, lit(tagRe), lit(2)),
           (k, v) => concat(unescapeIdent(k), lit(LabelSep), unescapeIdent(v)))),
           "|")
       }
       val parsed = df
         .filter(ok)
-        .withColumn("__ilp__", g)
-        .withColumn("__meas__", unescapeIdent(element_at(col("__ilp__"), 1)))
-        .withColumn("__labels__", labels)
+        .withColumn("__ilp__", Cols.packGroups(src, regex, 4))
+        // ts is digits by regex but may still overflow int64: try_cast
+        // keeps ANSI mode from killing the job; an overflowed ts drops
+        // the line (the reference rejects the point on ParseInt error)
         .withColumn("__time_nano__",
-          coalesce(nullif(element_at(col("__ilp__"), 4), lit(""))
-            .cast("long"), lit(defaultTimeNano)))
+          when(element_at(col("__ilp__"), 4) === "", lit(defaultTimeNano))
+            .otherwise(element_at(col("__ilp__"), 4).try_cast("long")))
+        .filter(col("__time_nano__").isNotNull)
+        .withColumn("__meas__", unescapeIdent(element_at(col("__ilp__"), 1)))
+        .withColumn("__labels__", labelsOf(element_at(col("__ilp__"), 2)))
         .select(col("*"),
           posexplode(zip_with(
             regexp_extract_all(element_at(col("__ilp__"), 3), lit(fieldRe), lit(1)),
@@ -140,26 +151,29 @@ object WireFormats {
 
     def apply(df: DataFrame): DataFrame = {
       val src = col(sourceKey)
-      val ok = src.isNotNull && src.rlike(regex) &&
-        regexp_extract(src, regex, 2).try_cast("double").isNotNull
-      val g = Cols.packGroups(src, regex, 5)
       val tagRe = "(?:^|,)([^:,]+):([^,]*)"
-      val labels = Cols.let(element_at(g, 5)) { t =>
-        array_join(array_sort(zip_with(
-          regexp_extract_all(t, lit(tagRe), lit(1)),
-          regexp_extract_all(t, lit(tagRe), lit(2)),
-          (k, v) => concat(k, lit(LabelSep), v))), "|")
-      }
-      df.filter(ok)
-        .withColumn("__sd__", g)
-        .withColumn("__name__", element_at(col("__sd__"), 1))
+      // one rlike gate + one packGroups = two regex passes per row; the
+      // value/rate validity checks read the PACKED column (try_cast,
+      // never a plain ANSI cast on wire data) instead of re-matching.
+      // "1.2.3"-style rates match the [0-9.]+ class but fail the
+      // numeric parse — that frame drops (dogstatsd rejects it too).
+      df.filter(src.isNotNull && src.rlike(regex))
+        .withColumn("__sd__", Cols.packGroups(src, regex, 5))
         .withColumn("__value__",
-          element_at(col("__sd__"), 2).cast("double"))
-        .withColumn("__stype__", element_at(col("__sd__"), 3))
+          element_at(col("__sd__"), 2).try_cast("double"))
         .withColumn("__rate__",
-          coalesce(nullif(element_at(col("__sd__"), 4), lit(""))
-            .cast("double"), lit(1.0)))
-        .withColumn("__labels__", labels)
+          when(element_at(col("__sd__"), 4) === "", lit(1.0))
+            .otherwise(element_at(col("__sd__"), 4).try_cast("double")))
+        .filter(col("__value__").isNotNull && col("__rate__").isNotNull)
+        .withColumn("__name__", element_at(col("__sd__"), 1))
+        .withColumn("__stype__", element_at(col("__sd__"), 3))
+        .withColumn("__labels__",
+          Cols.let(element_at(col("__sd__"), 5)) { t =>
+            array_join(array_sort(zip_with(
+              regexp_extract_all(t, lit(tagRe), lit(1)),
+              regexp_extract_all(t, lit(tagRe), lit(2)),
+              (k, v) => concat(k, lit(LabelSep), v))), "|")
+          })
         .withColumn("__time_nano__", lit(defaultTimeNano))
         .drop("__sd__")
     }

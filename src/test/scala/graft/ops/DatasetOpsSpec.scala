@@ -351,12 +351,13 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(!convNo)
     // labels still moving: the chain is split across several comp values
     assert(partial.select("comp").distinct().count() > 1)
-    // O(log d) iterations (crossing two checkpointEvery boundaries, so
-    // the localCheckpoint lineage-truncation path is exercised) →
-    // converged, one component, survivor = min id
+    // O(log d) iterations → converged, one component, survivor = min
+    // id. checkpointEvery=3: the chain converges around iteration 8
+    // (reach doubles per round), so every-3 crosses two checkpoint
+    // boundaries and the lineage-truncation path is exercised twice
     val (full, convYes) =
       DedupOps.resolveDuplicatesDetailed(chain, maxIter = 12,
-        checkpointEvery = 5)
+        checkpointEvery = 3)
     assert(convYes)
     val rows = full.collect().map(x =>
       x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap

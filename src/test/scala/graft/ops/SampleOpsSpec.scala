@@ -32,6 +32,13 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(tight.subsetOf(a))
   }
 
+  test("null keys hash as empty string: rate 1.0 keeps every row " +
+    "(null u01 would silently drop them)") {
+    val d = Seq(Some(1L), None, Some(2L)).toDF("id")
+    assert(SampleOps.HashSample("id", 1.0)(d).count() == 3)
+    assert(SampleOps.WeightedRepeat("id", lit(1.0))(d).count() == 3)
+  }
+
   test("stratified sample: per-stratum rates, default rate for " +
     "unlisted strata") {
     val d = ids(3000).withColumn("dom",

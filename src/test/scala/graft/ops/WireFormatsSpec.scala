@@ -70,6 +70,26 @@ class WireFormatsSpec extends AnyFunSuite {
     assert(out.map(_("__name__")) == Seq("ok"))
   }
 
+  test("hostile numerics survive ANSI mode: ts overflow drops the line, " +
+    "huge/NaN floats render plainly, bad statsd rate drops the frame") {
+    // int64-overflowing timestamp: line drops (reference rejects the
+    // point on ParseInt error); must not throw under ANSI
+    val ts = influx(false,
+      "cpu value=1 99999999999999999999999",
+      "cpu value=2 1434055562000000000")
+    assert(ts.map(_("__value__")) == Seq("2"))
+    // 1e300 / NaN / Infinity all pass the bare-value regex; plain
+    // double→long cast would CAST_OVERFLOW — render via the non-integral
+    // branch instead
+    val big = influx(false, "m a=1e300,b=0.5")
+    assert(big.map(m => (m("__name__"), m("__value__"))).toSet ==
+      Set(("m:a", "1.0E300"), ("m:b", "0.5")))
+    // rate matches [0-9.]+ but is not a number → frame drops, no throw
+    val sd = collectMaps(WireFormats.StatsdParser("text")(textDf(
+      "a:1|c|@1.2.3", "b:2|c|@0.25")))
+    assert(sd.map(m => (m("__name__"), m("__rate__"))) == Seq(("b", 0.25)))
+  }
+
   test("statsd frames: value/type/rate/tags") {
     val out = collectMaps(WireFormats.StatsdParser("text")(textDf(
       "page.views:1|c",
