@@ -57,6 +57,8 @@ object PipelineConfig {
     if (n.hasNonNull(f)) n.get(f).asBoolean else dflt
   // asLong, not asInt: nanosecond epochs and hashmod moduli exceed
   // Int32 — asInt would silently truncate a valid config value
+  private def dbl(n: JsonNode, f: String, dflt: Double): Double =
+    if (n.hasNonNull(f)) n.get(f).asDouble else dflt
   private def lng(n: JsonNode, f: String, dflt: Long): Long =
     if (n.hasNonNull(f)) n.get(f).asLong else dflt
   private def int(n: JsonNode, f: String, dflt: Int): Int =
@@ -267,6 +269,27 @@ object PipelineConfig {
     },
     "statsd_parse" -> { n =>
       WireFormats.StatsdParser(strOpt(n, "sourceKey").getOrElse("line")).apply _
+    },
+    // -- deterministic sampling / mixing (training-data curation) ----------
+    "sample_hash" -> { n =>
+      SampleOps.HashSample(str(n, "keyField"), dbl(n, "rate", 1.0),
+        salt = int(n, "salt", 0),
+        portable = bool(n, "portable", true)).apply _
+    },
+    "sample_stratified" -> { n =>
+      val rates = Option(n.get("rates")).map(_.fields.asScala
+        .map(e => e.getKey -> e.getValue.asDouble).toMap)
+        .getOrElse(Map.empty[String, Double])
+      SampleOps.StratifiedSample(str(n, "stratumField"), str(n, "keyField"),
+        rates, defaultRate = dbl(n, "defaultRate", 1.0),
+        salt = int(n, "salt", 0),
+        portable = bool(n, "portable", true)).apply _
+    },
+    "sample_weighted" -> { n =>
+      SampleOps.WeightedRepeat(str(n, "keyField"),
+        weight = col(str(n, "weightField")),
+        salt = int(n, "salt", 0),
+        portable = bool(n, "portable", true)).apply _
     },
     "prom_relabel" -> { n =>
       val rules = Option(n.get("rules")).toSeq.flatMap(_.elements.asScala)

@@ -105,6 +105,10 @@ class PipelineConfigSpec extends AnyFunSuite {
       "prom_parse" -> """{"type":"prom_parse","sourceKey":"promline"}""",
       "influx_parse" -> """{"type":"influx_parse","sourceKey":"influxline"}""",
       "statsd_parse" -> """{"type":"statsd_parse","sourceKey":"statsdline"}""",
+      // rate/weight 1.0 → exact pass-through (harness asserts no rows lost)
+      "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
+      "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",
+      "sample_weighted" -> """{"type":"sample_weighted","keyField":"conv_id","weightField":"w"}""",
       // relabel needs the parsed (name, labels) frame, so its minimal
       // config is a two-stage chain (the harness splices into the array)
       "prom_relabel" -> ("""{"type":"prom_parse","sourceKey":"promline"},""" +
@@ -124,6 +128,7 @@ class PipelineConfigSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lit("m,h=x value=1"))
       .withColumn("statsdline",
         org.apache.spark.sql.functions.lit("m:1|c"))
+      .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)
