@@ -473,6 +473,27 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "__name__", "__value__", "__labels__",
           "__time_nano__", "__type__", "__field__")
     },
+    "otlp_logs_parse" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m2 = pmod(col("turn_idx"), lit(2))
+      val raw = t.withColumn("payload",
+        when(m2 === 0, concat(
+          lit("""{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
+          col("role"),
+          lit(""""}}]},"scopeLogs":[{"scope":{"name":"graft"},"logRecords":[{"timeUnixNano":"1663904182348000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"turn """),
+          col("turn_idx"),
+          lit(""""},"attributes":[{"key":"tool","value":{"stringValue":""""),
+          col("tool"),
+          lit(""""}},{"key":"idx","value":{"intValue":""""),
+          col("turn_idx"),
+          lit(""""}}]},{"timeUnixNano":"1663904182348000001","severityNumber":17,"severityText":"ERROR","body":{"intValue":""""),
+          col("turn_idx"),
+          lit(""""}}]}]}]}""")))
+          .otherwise(col("text"))) // transcript text → not an OTLP payload
+      WireFormats.OtlpLogParser("payload")(raw)
+        .select("conv_id", "turn_idx", "time_unix_nano", "severity_number",
+          "severity_text", "content", "attributes", "resources")
+    },
     "statsd_parse" -> { (s, dir) =>
       val t = transcripts(s, dir)
       val m3 = pmod(col("turn_idx"), lit(3))
@@ -1100,6 +1121,27 @@ object SparkEntry {
            UNION ALL
            SELECT conv_id, turn_idx, 'evt:msg', 'call ' || role,
              'svc#$#s ' || role, 5, 'string', 'msg' FROM base WHERE m = 2"""),
+
+      // expected rows derived from the fixture's SOURCE columns (role /
+      // tool / turn_idx), not by re-parsing the JSON in DuckDB — an
+      // independent cross-check of the whole decode path
+      "otlp_logs_parse" -> withCte(
+        """, base AS (
+             SELECT conv_id, turn_idx, role, tool FROM transcripts
+             WHERE mod(turn_idx, 2) = 0)
+           SELECT conv_id, turn_idx,
+             cast(1663904182348000000 AS BIGINT) AS time_unix_nano,
+             cast(9 AS BIGINT) AS severity_number,
+             'INFO' AS severity_text,
+             'turn ' || turn_idx AS content,
+             '{"idx":' || turn_idx || ',"tool":"' || tool || '"}' AS attributes,
+             '{"service.name":"svc-' || role || '"}' AS resources
+           FROM base
+           UNION ALL
+           SELECT conv_id, turn_idx, 1663904182348000001, 17, 'ERROR',
+             cast(turn_idx AS VARCHAR), '',
+             '{"service.name":"svc-' || role || '"}'
+           FROM base"""),
 
       "statsd_parse" -> withCte(
         """, base AS (

@@ -270,6 +270,10 @@ object PipelineConfig {
     "statsd_parse" -> { n =>
       WireFormats.StatsdParser(strOpt(n, "sourceKey").getOrElse("line")).apply _
     },
+    "otlp_log_parse" -> { n =>
+      WireFormats.OtlpLogParser(
+        strOpt(n, "sourceKey").getOrElse("payload")).apply _
+    },
     // -- deterministic sampling / mixing (training-data curation) ----------
     "sample_hash" -> { n =>
       SampleOps.HashSample(str(n, "keyField"), dbl(n, "rate", 1.0),

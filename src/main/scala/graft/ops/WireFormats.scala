@@ -137,6 +137,95 @@ object WireFormats {
     }
   }
 
+  /** OTLP/JSON log payload (ExportLogsServiceRequest) → one row per
+    * logRecord, the reference's V1 log conversion
+    * (`pkg/protocol/decoder/opentelemetry/otlpDataToSLSProto.go:276-338`,
+    * wire shape `decoder_test.go:39`): fields `time_unix_nano`,
+    * `severity_number`, `severity_text`, `content` (= body.AsString),
+    * and `attributes`/`resources` as compact key-sorted JSON objects
+    * (Go's `json.Marshal` of a map sorts keys; empty maps render here
+    * as "" where the reference omits the field — a table column cannot
+    * be absent). Non-OTLP / unparseable payloads drop (the reference
+    * rejects the HTTP request).
+    *
+    * Spark-first shape: one `from_json` with the full nested schema,
+    * three generator explodes (resourceLogs → scopeLogs → logRecords),
+    * everything else per-row projections — no shuffle, no UDF. */
+  final case class OtlpLogParser(sourceKey: String = "payload") {
+
+    private val anyVal =
+      "STRUCT<stringValue: STRING, intValue: STRING, " +
+        "doubleValue: DOUBLE, boolValue: BOOLEAN>"
+    private val kvs = s"ARRAY<STRUCT<key: STRING, value: $anyVal>>"
+    private[ops] val schemaDDL =
+      s"""resourceLogs ARRAY<STRUCT<
+            resource: STRUCT<attributes: $kvs>,
+            scopeLogs: ARRAY<STRUCT<
+              scope: STRUCT<name: STRING>,
+              logRecords: ARRAY<STRUCT<
+                timeUnixNano: STRING,
+                severityNumber: BIGINT,
+                severityText: STRING,
+                body: $anyVal,
+                attributes: $kvs>>>>>>"""
+
+    /** JSON-escaped quoted string: to_json of a 1-element array does
+      * the escaping, then the brackets are trimmed. */
+    private def jsonStr(v: Column): Column =
+      Cols.let(to_json(array(v)))(a => a.substr(lit(2), length(a) - 2))
+
+    /** One AnyValue rendered as a JSON scalar the way `json.Marshal`
+      * renders `AsRaw()`: strings quoted+escaped, int64 (a STRING in
+      * proto3 JSON) bare, bools bare. */
+    private def renderAny(v: Column): Column =
+      when(v.getField("stringValue").isNotNull, jsonStr(v.getField("stringValue")))
+        .when(v.getField("intValue").isNotNull, v.getField("intValue"))
+        .when(v.getField("boolValue").isNotNull,
+          v.getField("boolValue").cast("string"))
+        .when(v.getField("doubleValue").isNotNull,
+          v.getField("doubleValue").cast("string"))
+        .otherwise(lit("null"))
+
+    /** pdata `Value.AsString`: the raw string for strings, number/bool
+      * rendering otherwise. */
+    private def anyString(v: Column): Column =
+      coalesce(v.getField("stringValue"), v.getField("intValue"),
+        v.getField("boolValue").cast("string"),
+        v.getField("doubleValue").cast("string"), lit(""))
+
+    /** Attribute list → `{"k":v,...}` with keys sorted (Go map
+      * marshal order); empty/absent → "". */
+    private def attrsJson(attrs: Column): Column =
+      when(attrs.isNull || size(attrs) === 0, lit(""))
+        .otherwise(concat(lit("{"),
+          array_join(transform(
+            array_sort(transform(attrs, a => struct(
+              a.getField("key").as("k"),
+              concat(jsonStr(a.getField("key")), lit(":"),
+                renderAny(a.getField("value"))).as("e")))),
+            s => s.getField("e")), ","), lit("}")))
+
+    def apply(df: DataFrame): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+      df.withColumn("__otlp__", from_json(col(sourceKey), schema))
+        .filter(col("__otlp__").isNotNull &&
+          col("__otlp__").getField("resourceLogs").isNotNull)
+        .select(col("*"), explode(col("__otlp__.resourceLogs")).as("__rl__"))
+        .withColumn("resources", attrsJson(col("__rl__.resource.attributes")))
+        .select(col("*"), explode(col("__rl__.scopeLogs")).as("__sl__"))
+        .select(col("*"), explode(col("__sl__.logRecords")).as("__lr__"))
+        .withColumn("time_unix_nano",
+          coalesce(col("__lr__.timeUnixNano").try_cast("long"), lit(0L)))
+        .withColumn("severity_number",
+          coalesce(col("__lr__.severityNumber"), lit(0L)))
+        .withColumn("severity_text",
+          coalesce(col("__lr__.severityText"), lit("")))
+        .withColumn("content", anyString(col("__lr__.body")))
+        .withColumn("attributes", attrsJson(col("__lr__.attributes")))
+        .drop("__otlp__", "__rl__", "__sl__", "__lr__")
+    }
+  }
+
   /** (dog)statsd frame: `name:value|type[|@rate][|#k:v,…]`
     * (`decoder/statsd/decoder.go:44-66` via the dogstatsd grammar);
     * every frame becomes one metric log with a float value. */

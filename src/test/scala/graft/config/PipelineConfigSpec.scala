@@ -105,6 +105,7 @@ class PipelineConfigSpec extends AnyFunSuite {
       "prom_parse" -> """{"type":"prom_parse","sourceKey":"promline"}""",
       "influx_parse" -> """{"type":"influx_parse","sourceKey":"influxline"}""",
       "statsd_parse" -> """{"type":"statsd_parse","sourceKey":"statsdline"}""",
+      "otlp_log_parse" -> """{"type":"otlp_log_parse","sourceKey":"otlpline"}""",
       // rate/weight 1.0 → exact pass-through (harness asserts no rows lost)
       "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
       "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",
@@ -129,6 +130,8 @@ class PipelineConfigSpec extends AnyFunSuite {
       .withColumn("statsdline",
         org.apache.spark.sql.functions.lit("m:1|c"))
       .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("otlpline", org.apache.spark.sql.functions.lit(
+        """{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"body":{"stringValue":"x"}}]}]}]}"""))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)

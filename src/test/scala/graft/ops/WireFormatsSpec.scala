@@ -90,6 +90,49 @@ class WireFormatsSpec extends AnyFunSuite {
     assert(sd.map(m => (m("__name__"), m("__rate__"))) == Seq(("b", 0.25)))
   }
 
+  test("otlp/json logs: the reference textFormat vector " +
+    "(decoder_test.go:39) — fields, sorted-attr JSON, resources") {
+    val payload =
+      """{"resourceLogs":[{"resource":{"attributes":[""" +
+        """{"key":"service.name","value":{"stringValue":"OtlpExporterExample"}},""" +
+        """{"key":"telemetry.sdk.language","value":{"stringValue":"java"}},""" +
+        """{"key":"telemetry.sdk.name","value":{"stringValue":"opentelemetry"}},""" +
+        """{"key":"telemetry.sdk.version","value":{"stringValue":"1.18.0"}}]},""" +
+        """"scopeLogs":[{"scope":{"name":"io.opentelemetry.example"},"logRecords":[""" +
+        """{"timeUnixNano":"1663904182348000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"log body1"},"attributes":[{"key":"k1","value":{"stringValue":"v1"}},{"key":"k2","value":{"stringValue":"v2"}}],"traceId":"","spanId":""},""" +
+        """{"timeUnixNano":"1663904182348000000","severityNumber":9,"severityText":"INFO","body":{"stringValue":"log body2"},"attributes":[{"key":"k1","value":{"stringValue":"v1"}},{"key":"k2","value":{"stringValue":"v2"}}],"traceId":"","spanId":""}]}]}]}"""
+    val out = collectMaps(WireFormats.OtlpLogParser("text")(textDf(
+      payload,
+      """{"level":"INFO","msg":"not otlp"}""", // JSON but no resourceLogs
+      "plain text line")))
+    assert(out.size == 2)
+    assert(out.map(_("content")) == Seq("log body1", "log body2"))
+    assert(out.forall(m =>
+      m("time_unix_nano") == 1663904182348000000L &&
+        m("severity_number") == 9L && m("severity_text") == "INFO" &&
+        m("attributes") == """{"k1":"v1","k2":"v2"}""" &&
+        m("resources") == """{"service.name":"OtlpExporterExample","telemetry.sdk.language":"java","telemetry.sdk.name":"opentelemetry","telemetry.sdk.version":"1.18.0"}"""))
+  }
+
+  test("otlp/json logs: mixed-type bodies and attributes, empty maps " +
+    "render empty, attr escaping") {
+    val payload =
+      """{"resourceLogs":[{"resource":{},"scopeLogs":[{"logRecords":[""" +
+        """{"timeUnixNano":"5","severityNumber":17,"severityText":"ERROR","body":{"intValue":"123"},"attributes":[""" +
+        """{"key":"n","value":{"intValue":"42"}},{"key":"b","value":{"boolValue":true}},{"key":"s","value":{"stringValue":"a\"b"}}]},""" +
+        """{"body":{"stringValue":"bare"}}]}]}]}"""
+    val out = collectMaps(WireFormats.OtlpLogParser("text")(textDf(payload)))
+    assert(out.size == 2)
+    assert(out(0)("content") == "123")
+    // keys sorted: b < n < s; int/bool bare, string quoted+escaped
+    assert(out(0)("attributes") == """{"b":true,"n":42,"s":"a\"b"}""")
+    assert(out(0)("resources") == "")
+    // absent time/severity default to 0/""
+    assert(out(1)("content") == "bare" && out(1)("time_unix_nano") == 0L &&
+      out(1)("severity_number") == 0L && out(1)("severity_text") == "" &&
+      out(1)("attributes") == "")
+  }
+
   test("statsd frames: value/type/rate/tags") {
     val out = collectMaps(WireFormats.StatsdParser("text")(textDf(
       "page.views:1|c",
