@@ -201,18 +201,29 @@ object DedupOps {
     * survivors). Callers that must not over-keep should raise `maxIter`
     * (or pre-densify candidate pairs) when this comes back false.
     *
-    * `checkpointEvery` truncates plan lineage with `localCheckpoint`
-    * every k iterations: the iterative join otherwise grows the logical
-    * plan linearly and per-iteration analysis cost comes to dominate at
-    * high iteration counts on a real cluster. */
+    * Every generation is lineage-truncated with an eager
+    * `localCheckpoint` (the iterative join otherwise grows the logical
+    * plan exponentially through the pointer-jump self-join), and no
+    * generation is ever `unpersist()`ed — see the loop comments.
+    * `checkpointEvery` is retained for source compatibility and
+    * ignored. */
   def resolveDuplicatesDetailed(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 10,
       checkpointEvery: Int = 5): (DataFrame, Boolean) = {
+    val _ = checkpointEvery
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .distinct().cache()
+    // every labels generation is an EAGER localCheckpoint, so each is
+    // self-contained data: dropping the reference to the parent
+    // generation can never strand a cached child whose recompute path
+    // walks into freed checkpoint blocks (the at-scale
+    // executor-loss/eviction hazard). Old generations' blocks are freed
+    // by the ContextCleaner once unreferenced — never unpersist()ed
+    // explicitly, which on a checkpointed generation would delete the
+    // very blocks that ARE the data.
     var labels = edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id"))).distinct()
-      .withColumn("comp", col("id")).cache()
+      .withColumn("comp", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -235,20 +246,14 @@ object DedupOps {
       // round, so the reachable min-label distance DOUBLES instead of
       // advancing one hop — chains converge in O(log diameter) rounds
       // (comp is always a node id, so the self-join always resolves)
-      val nextRaw = prop.join(
+      val next = prop.join(
         prop.select(col("id").as("comp"), col("comp").as("__cc__")),
         Seq("comp"), "left")
         .select(col("id"), coalesce(col("__cc__"), col("comp")).as("comp"))
-      // localCheckpoint every k generations also truncates the jumped
-      // generation; cache() in between keeps per-iteration cost low
-      val next =
-        if ((iter + 1) % checkpointEvery == 0) nextRaw.localCheckpoint()
-        else nextRaw.cache()
-      next.count() // fully materialize BEFORE dropping the parent cache
+        .localCheckpoint() // eager: materialized before prop/labels are dropped
       val changed = next.join(labels.select(col("id"),
           col("comp").as("prev")), "id")
         .where(col("comp") =!= col("prev")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

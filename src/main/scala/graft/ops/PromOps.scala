@@ -145,16 +145,22 @@ object PromOps {
       }
       val value = stodPrefix(pv.getField("valtok"))
       val tsRaw = stodPrefix(pv.getField("tstok"))
-      val tsMs = when(tsRaw < (1L << 31), tsRaw * 1000).otherwise(tsRaw)
-      val hasTs = pv.getField("tstok") =!= "" && tsRaw.isNotNull
+      // try_cast, never a plain ANSI cast: the grammar's NumTok admits
+      // 'nan' and out-of-int64 magnitudes, and stod would hand the
+      // reference a value it then range-errors on — here a NaN/overflow
+      // timestamp nulls and the row drops as a parse failure instead of
+      // CAST_OVERFLOW killing the job
+      val tsMsL = when(tsRaw < (1L << 31), tsRaw * 1000).otherwise(tsRaw)
+        .try_cast("long")
+      val hasTs = pv.getField("tstok") =!= "" && tsMsL.isNotNull
       val tsSec =
         if (honorTimestamps)
-          when(hasTs, (tsMs.cast("long") / 1000).cast("long"))
+          when(hasTs, (tsMsL / 1000).cast("long"))
             .otherwise(lit(defaultTsSec))
         else lit(defaultTsSec)
       val tsNs =
         if (honorTimestamps)
-          when(hasTs, pmod(tsMs.cast("long"), lit(1000)) * 1000000L)
+          when(hasTs, pmod(tsMsL, lit(1000)) * 1000000L)
             .otherwise(lit(defaultTsNs))
         else lit(defaultTsNs)
       // an in-range-but-unparseable value or timestamp is a parse error
@@ -164,7 +170,7 @@ object PromOps {
         .withColumn("labels", labels)
         .withColumn("value", value)
         .withColumn("__ts_bad__",
-          pv.getField("tstok") =!= "" && tsRaw.isNull)
+          pv.getField("tstok") =!= "" && tsMsL.isNull)
         .withColumn("ts_sec", tsSec)
         .withColumn("ts_ns", tsNs)
         .filter(col("value").isNotNull && !col("__ts_bad__"))

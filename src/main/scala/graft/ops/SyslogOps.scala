@@ -52,9 +52,15 @@ object SyslogOps {
   private def packGroups(src: Column, anchored: String, n: Int): Column =
     Cols.packGroups(src, anchored, n)
 
+  /** Month name → 1-12; an unknown name yields 0, which
+    * try_make_timestamp folds to null (= parse failure). Deliberately
+    * NOT nullif-based: nullif is a RuntimeReplaceable that Spark 4
+    * rewrites through a `With` expression, and RewriteWithExpression
+    * hoists the bound child into its own UNGUARDED project column —
+    * which then evaluates on non-matching rows where the packed group
+    * array is garbage and element_at throws. */
   private def monthNum(mon: Column): Column =
-    nullif(array_position(array(MonthNames.map(lit): _*), mon), lit(0L))
-      .cast("int")
+    array_position(array(MonthNames.map(lit): _*), mon).cast("int")
 
   /** `<PRI>Mmm dd hh:mm:ss [hostname] tag[pid]: content`.
     *
@@ -74,23 +80,38 @@ object SyslogOps {
         "(\\d{2}):(\\d{2}):(\\d{2}) " + hostPart +
         "([^:\\[ ]+)(?:\\[([^\\]]*)\\])?: ?(.*)$"
 
+    /** Header timestamp, built with try_make_timestamp so an
+      * out-of-range-but-regex-admitted date ('Feb 30', hour 99) nulls
+      * instead of DATETIME_FIELD_OUT_OF_RANGE killing the job under
+      * ANSI — Go time.Parse fails the same lines, so null == parse
+      * failure here. try_cast on the pieces keeps the expression total
+      * even if a predicate reorder evaluates it on a non-matching row
+      * (where the packed groups are garbage). */
+    private def tsExpr(src: Column): Column = {
+      val g = packGroups(src, regex, 10)
+      call_function("try_make_timestamp",
+        lit(year), monthNum(try_element_at(g, lit(2))),
+        try_element_at(g, lit(3)).try_cast("int"),
+        try_element_at(g, lit(4)).try_cast("int"),
+        try_element_at(g, lit(5)).try_cast("int"),
+        try_element_at(g, lit(6)).try_cast("decimal(8,6)"))
+    }
+
     override def ok(src: Column): Column =
       src.isNotNull && src.rlike(regex) &&
         regexp_extract(src, regex, 1).cast("int") <= 191 &&
-        monthNum(regexp_extract(src, regex, 2)).isNotNull
+        tsExpr(src).isNotNull // subsumes the month-name check
 
     override def fields(src: Column): Map[String, Column] = {
       val g = packGroups(src, regex, 10)
       val pri = element_at(g, 1).cast("int")
-      val ts = call_function("make_timestamp",
-        lit(year), monthNum(element_at(g, 2)),
-        element_at(g, 3).cast("int"), element_at(g, 4).cast("int"),
-        element_at(g, 5).cast("int"), element_at(g, 6).cast("decimal(8,6)"))
+      val ts = tsExpr(src)
       Map(
         "_hostname_" -> (if (hasHostname) element_at(g, 7)
           else lit(defaultHostname)),
         "_program_" -> element_at(g, 8),
-        "_process_id_" -> nullif(element_at(g, 9), lit("")),
+        // when-based, not nullif: see monthNum on With-expression hoisting
+        "_process_id_" -> when(element_at(g, 9) =!= "", element_at(g, 9)),
         "_priority_" -> pri,
         "_facility_" -> (pri / 8).cast("int"),
         "_severity_" -> pmod(pri, lit(8)).cast("int"),

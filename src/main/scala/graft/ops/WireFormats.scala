@@ -176,10 +176,16 @@ object WireFormats {
 
     /** One AnyValue rendered as a JSON scalar the way `json.Marshal`
       * renders `AsRaw()`: strings quoted+escaped, int64 (a STRING in
-      * proto3 JSON) bare, bools bare. */
+      * proto3 JSON) bare, bools bare. The intValue branch emits the
+      * try_cast("long") result (canonical digits — jsonpb would render
+      * the unmarshalled int64 the same way), so a hostile
+      * `"intValue":"12abc"` can't splice invalid JSON into the output:
+      * it falls through to quoted-string rendering instead. */
     private def renderAny(v: Column): Column =
       when(v.getField("stringValue").isNotNull, jsonStr(v.getField("stringValue")))
-        .when(v.getField("intValue").isNotNull, v.getField("intValue"))
+        .when(v.getField("intValue").try_cast("long").isNotNull,
+          v.getField("intValue").try_cast("long").cast("string"))
+        .when(v.getField("intValue").isNotNull, jsonStr(v.getField("intValue")))
         .when(v.getField("boolValue").isNotNull,
           v.getField("boolValue").cast("string"))
         .when(v.getField("doubleValue").isNotNull,

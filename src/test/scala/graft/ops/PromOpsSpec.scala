@@ -86,6 +86,19 @@ class PromOpsSpec extends AnyFunSuite {
     assert(out(0)("value") == 12.0 && out(1)("value") == 75.0)
   }
 
+  test("hostile timestamps survive ANSI: nan / out-of-int64 drop the " +
+    "line, not the job") {
+    // grammar-valid lines whose timestamp token is NaN or overflows
+    // int64 milliseconds — a plain cast("long") would CAST_OVERFLOW
+    // and kill the whole job under ANSI
+    assert(parse("m 1 nan", "m 1 99999999999999999999",
+      "m 1 -99999999999999999999", "m 1 1e300").isEmpty)
+    // and a hostile line doesn't take valid neighbors down
+    val out = parse("ok 1 5", "m 1 nan")
+    assert(out.length == 1 && out(0)("name") == "ok" &&
+      out(0)("ts_sec") == 5L)
+  }
+
   test("relabel: keep/drop/replace/lowercase/hashmod/labelmap/labeldrop") {
     val base = PromOps.TextParser("text")(textDf(
       """http_requests{job="api-server",instance="host1",__meta_dc="east"} 10""",

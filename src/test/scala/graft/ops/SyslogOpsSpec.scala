@@ -125,4 +125,25 @@ class SyslogOpsSpec extends AnyFunSuite {
     val out = parse3164(true, "<192>Oct 09 14:36:47 h p: m")
     assert(out(0)("_priority_") == -1)
   }
+
+  test("hostile header timestamps survive ANSI: out-of-range date/time " +
+    "is a parse failure, not an exception") {
+    // the regex admits hour/day values make_timestamp range-errors on;
+    // Go time.Parse fails these lines, so they must take the
+    // parse-failure path (keep-raw or drop), never throw
+    val hour99 = "<34>Aug  2 99:49:23 h su: x"
+    val feb30 = "<34>Feb 30 09:49:23 h su: x"
+    val keep = parse3164(true, hour99, feb30)
+    assert(keep.length == 2 && keep.forall(m => m("_priority_") == -1 &&
+      m("_ts_") == null))
+    assert(keep(0)("_content_") == hour99 && keep(1)("_content_") == feb30)
+    assert(collectMaps(SyslogOps.Rfc3164()(textDf(hour99, feb30), "text",
+      ignoreParseFailure = false)).isEmpty)
+    // the Auto path merges per-row: hostile 3164 header + valid 5424
+    val auto = collectMaps(SyslogOps.Auto(year = 2025)(textDf(
+      hour99,
+      "<34>1 2003-10-11T22:14:15.003Z mymachine su - ID47 - msg"), "text",
+      ignoreParseFailure = true))
+    assert(auto(0)("_priority_") == -1 && auto(1)("_program_") == "su")
+  }
 }

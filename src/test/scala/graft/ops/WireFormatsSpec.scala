@@ -133,6 +133,19 @@ class WireFormatsSpec extends AnyFunSuite {
       out(1)("attributes") == "")
   }
 
+  test("otlp/json logs: hostile non-numeric intValue can't splice " +
+    "invalid JSON into the attributes column") {
+    val payload =
+      """{"resourceLogs":[{"resource":{},"scopeLogs":[{"logRecords":[""" +
+        """{"body":{"stringValue":"x"},"attributes":[""" +
+        """{"key":"bad","value":{"intValue":"12abc"}},""" +
+        """{"key":"pad","value":{"intValue":"007"}}]}]}]}]}"""
+    val out = collectMaps(WireFormats.OtlpLogParser("text")(textDf(payload)))
+    // "12abc" is not an int64 → quoted-string fallback (valid JSON);
+    // "007" canonicalizes to 7 as jsonpb would render the int64
+    assert(out(0)("attributes") == """{"bad":"12abc","pad":7}""")
+  }
+
   test("statsd frames: value/type/rate/tags") {
     val out = collectMaps(WireFormats.StatsdParser("text")(textDf(
       "page.views:1|c",
