@@ -494,6 +494,77 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "time_unix_nano", "severity_number",
           "severity_text", "content", "attributes", "resources")
     },
+    "otlp_metrics_parse" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m2 = pmod(col("turn_idx"), lit(2))
+      val m3 = pmod(col("turn_idx"), lit(3))
+      // one payload exercising all five typed families + an untyped
+      // metric + an exemplar (decoder_test.go:210 families)
+      val raw = t.withColumn("payload",
+        when(m2 === 0, concat(
+          lit("""{"resourceMetrics":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"svc-"""),
+          col("role"),
+          lit(""""}}]},"scopeMetrics":[{"scope":{"name":"graft"},"metrics":["""),
+          lit("""{"name":"latency","gauge":{"dataPoints":[{"attributes":[{"key":"tool","value":{"stringValue":""""),
+          col("tool"),
+          lit(""""}}],"timeUnixNano":"1663904182348000000","asDouble":"""),
+          col("turn_idx"), lit(".25"),
+          lit(""","exemplars":[{"filteredAttributes":[{"key":"role","value":{"stringValue":""""),
+          col("role"),
+          lit(""""}}],"timeUnixNano":"1663904182348000000","asDouble":99.3,"traceId":"0102030405060708090a0b0c0d0e0f10","spanId":"1112131415161718"}]}]}},"""),
+          lit("""{"name":"hits","sum":{"aggregationTemporality":2,"isMonotonic":true,"dataPoints":[{"attributes":[{"key":"role","value":{"stringValue":""""),
+          col("role"),
+          lit(""""}}],"timeUnixNano":"1663904182348000000","asInt":""""),
+          col("turn_idx"),
+          lit(""""}]}},"""),
+          lit("""{"name":"size","histogram":{"aggregationTemporality":2,"dataPoints":[{"timeUnixNano":"1663904182348000000","count":"4","sum":345,"min":1,"max":200,"explicitBounds":[10,100],"bucketCounts":["1","""),
+          lit("\""), m3, lit("\""),
+          lit(""","2"]}]}},"""),
+          lit("""{"name":"spread","exponentialHistogram":{"aggregationTemporality":2,"dataPoints":[{"timeUnixNano":"1663904182348000000","count":"6","sum":55.5,"scale":0,"zeroCount":"7","positive":{"offset":1,"bucketCounts":["1","2"]},"negative":{"offset":0,"bucketCounts":["3"]}}]}},"""),
+          lit("""{"name":"rt","summary":{"dataPoints":[{"timeUnixNano":"1663904182348000000","count":"10","sum":"""),
+          col("turn_idx"),
+          lit(""","quantileValues":[{"quantile":0.5,"value":1.5},{"quantile":0.9,"value":2.5}]}]}},"""),
+          lit("""{"name":"marker","description":"desc-"""),
+          col("tool"),
+          lit(""""}]}]}]}""")))
+          .otherwise(col("text"))) // transcript text → not an OTLP payload
+      OtlpOps.OtlpMetricParser("payload")(raw)
+        .select("conv_id", "turn_idx", "__name__", "__labels__",
+          "__time_nano__", "__value__")
+    },
+    "otlp_traces_parse" -> { (s, dir) =>
+      val t = transcripts(s, dir)
+      val m2 = pmod(col("turn_idx"), lit(2))
+      // a full span (ids, kind, events, links, status, attrs) plus a
+      // defaults-only child span (tracesOTLPFull shape)
+      val raw = t.withColumn("payload",
+        when(m2 === 1, concat(
+          lit("""{"resourceSpans":[{"resource":{"attributes":[{"key":"host.name","value":{"stringValue":"h-"""),
+          col("role"),
+          lit(""""}},{"key":"service.name","value":{"stringValue":"svc-"""),
+          col("role"),
+          lit(""""}},{"key":"region","value":{"stringValue":"r1"}}]},"scopeSpans":[{"scope":{"name":"graft"},"spans":["""),
+          lit("""{"traceId":"0102030405060708090a0b0c0d0e0f10","spanId":"1112131415161718","parentSpanId":"1112131415161718","name":"op-"""),
+          col("tool"),
+          lit("""","kind":2,"startTimeUnixNano":"1663904182348000000","endTimeUnixNano":"1663904182349000000","attributes":[{"key":"role","value":{"stringValue":""""),
+          col("role"),
+          lit(""""}},{"key":"idx","value":{"intValue":""""),
+          col("turn_idx"),
+          lit(""""}}],"events":[{"timeUnixNano":"1663904182348500000","name":"ev","attributes":[{"key":"tool","value":{"stringValue":""""),
+          col("tool"),
+          lit(""""}}]}],"links":[{"traceId":"0102030405060708090a0b0c0d0e0f10","spanId":"1112131415161718"}],"status":{"code":2,"message":"boom"}},"""),
+          lit("""{"name":"child-"""),
+          col("turn_idx"),
+          lit(""""}]}]}]}""")))
+          .otherwise(col("text")))
+      OtlpOps.OtlpTraceParser("payload")(raw)
+        .select(col("conv_id"), col("turn_idx"), col("host"), col("service"),
+          col("resource"), col("`otlp.name`"), col("`otlp.version`"),
+          col("traceID"), col("spanID"), col("parentSpanID"), col("kind"),
+          col("name"), col("links"), col("logs"), col("traceState"),
+          col("start"), col("end"), col("duration"), col("attribute"),
+          col("statusCode"), col("statusMessage"))
+    },
     "statsd_parse" -> { (s, dir) =>
       val t = transcripts(s, dir)
       val m3 = pmod(col("turn_idx"), lit(3))
@@ -1142,6 +1213,92 @@ object SparkEntry {
              cast(turn_idx AS VARCHAR), '',
              '{"service.name":"svc-' || role || '"}'
            FROM base"""),
+
+      "otlp_metrics_parse" -> withCte(
+        """, mb AS (
+             SELECT conv_id, turn_idx, role, tool, mod(turn_idx, 3) AS m3,
+               'svc-' || role AS svc,
+               cast(1663904182348000000 AS BIGINT) AS tn
+             FROM transcripts WHERE mod(turn_idx, 2) = 0),
+           hl AS (SELECT *,
+             'otlp_metric_aggregation_temporality#$#Cumulative|otlp_metric_histogram_type#$#Histogram|service_name#$#' || svc AS h,
+             'otlp_metric_aggregation_temporality#$#Cumulative|otlp_metric_histogram_type#$#ExponentialHistogram|service_name#$#' || svc AS e
+             FROM mb)
+           SELECT conv_id, turn_idx, 'latency_exemplars' AS "__name__",
+             'role#$#' || role || '|service_name#$#' || svc ||
+               '|spanId#$#1112131415161718|tool#$#' || tool ||
+               '|traceId#$#0102030405060708090a0b0c0d0e0f10' AS "__labels__",
+             cast(1663904182 AS BIGINT) AS "__time_nano__",
+             '99.3' AS "__value__" FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'latency',
+             'service_name#$#' || svc || '|tool#$#' || tool, tn,
+             turn_idx || '.25' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'hits',
+             'otlp_metric_aggregation_temporality#$#Cumulative|otlp_metric_ismonotonic#$#true|role#$#'
+               || role || '|service_name#$#' || svc, tn,
+             cast(turn_idx AS VARCHAR) FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'size_sum', h, tn, '345' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'size_min', h, tn, '1' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'size_max', h, tn, '200' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'size_count', h, tn, '4' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'size_bucket',
+             'le#$#10|' || h, tn, '1' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'size_bucket',
+             'le#$#100|' || h, tn, cast(1 + m3 AS VARCHAR) FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'size_bucket',
+             'le#$#+Inf|' || h, tn, cast(3 + m3 AS VARCHAR) FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_sum', e, tn, '55.5' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_count', e, tn, '6' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_bucket',
+             'le#$#(2,4]|' || e, tn, '1' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_bucket',
+             'le#$#(4,8]|' || e, tn, '2' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_bucket',
+             'le#$#positive.offset|' || e, tn, '1' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_bucket',
+             'le#$#zero.count|' || e, tn, '7' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_bucket',
+             'le#$#[-2,-1)|' || e, tn, '3' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'spread_bucket',
+             'le#$#negative.offset|' || e, tn, '0' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'rt_sum',
+             'service_name#$#' || svc, tn, cast(turn_idx AS VARCHAR) FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'rt_count',
+             'service_name#$#' || svc, tn, '10' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'rt',
+             'quantile#$#0.5|service_name#$#' || svc, tn, '1.5' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'rt',
+             'quantile#$#0.9|service_name#$#' || svc, tn, '2.5' FROM hl
+           UNION ALL SELECT conv_id, turn_idx, 'marker', 'Empty', 0,
+             'desc-' || tool FROM hl"""),
+
+      "otlp_traces_parse" -> withCte(
+        """, tb AS (
+             SELECT conv_id, turn_idx, role, tool FROM transcripts
+             WHERE mod(turn_idx, 2) = 1)
+           SELECT conv_id, turn_idx, 'h-' || role AS host,
+             'svc-' || role AS service,
+             '{"region":"r1"}' AS resource,
+             'graft' AS "otlp.name", '' AS "otlp.version",
+             '0102030405060708090a0b0c0d0e0f10' AS "traceID",
+             '1112131415161718' AS "spanID",
+             '1112131415161718' AS "parentSpanID",
+             'server' AS kind, 'op-' || tool AS name,
+             '[{"attribute":{},"spanID":"1112131415161718","traceID":"0102030405060708090a0b0c0d0e0f10"}]' AS links,
+             '[{"attribute":{"tool":"' || tool || '"},"name":"ev","time":1663904182348500000}]' AS logs,
+             '' AS "traceState",
+             cast(1663904182348000 AS BIGINT) AS start,
+             cast(1663904182349000 AS BIGINT) AS "end",
+             cast(1000 AS BIGINT) AS duration,
+             '{"idx":' || turn_idx || ',"role":"' || role || '"}' AS attribute,
+             'ERROR' AS "statusCode", 'boom' AS "statusMessage"
+           FROM tb
+           UNION ALL
+           SELECT conv_id, turn_idx, 'h-' || role, 'svc-' || role,
+             '{"region":"r1"}', 'graft', '', '', '', '', '',
+             'child-' || turn_idx, '[]', '[]', '', 0, 0, 0, '{}',
+             'UNSET', ''
+           FROM tb"""),
 
       "statsd_parse" -> withCte(
         """, base AS (

@@ -274,6 +274,14 @@ object PipelineConfig {
       WireFormats.OtlpLogParser(
         strOpt(n, "sourceKey").getOrElse("payload")).apply _
     },
+    "otlp_metric_parse" -> { n =>
+      OtlpOps.OtlpMetricParser(
+        strOpt(n, "sourceKey").getOrElse("payload")).apply _
+    },
+    "otlp_trace_parse" -> { n =>
+      OtlpOps.OtlpTraceParser(
+        strOpt(n, "sourceKey").getOrElse("payload")).apply _
+    },
     // -- deterministic sampling / mixing (training-data curation) ----------
     "sample_hash" -> { n =>
       SampleOps.HashSample(str(n, "keyField"), dbl(n, "rate", 1.0),

@@ -106,6 +106,9 @@ class PipelineConfigSpec extends AnyFunSuite {
       "influx_parse" -> """{"type":"influx_parse","sourceKey":"influxline"}""",
       "statsd_parse" -> """{"type":"statsd_parse","sourceKey":"statsdline"}""",
       "otlp_log_parse" -> """{"type":"otlp_log_parse","sourceKey":"otlpline"}""",
+      // one data point / one span per record → exact pass-through counts
+      "otlp_metric_parse" -> """{"type":"otlp_metric_parse","sourceKey":"otlpmline"}""",
+      "otlp_trace_parse" -> """{"type":"otlp_trace_parse","sourceKey":"otlptline"}""",
       // rate/weight 1.0 → exact pass-through (harness asserts no rows lost)
       "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
       "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",
@@ -132,6 +135,10 @@ class PipelineConfigSpec extends AnyFunSuite {
       .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
       .withColumn("otlpline", org.apache.spark.sql.functions.lit(
         """{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"body":{"stringValue":"x"}}]}]}]}"""))
+      .withColumn("otlpmline", org.apache.spark.sql.functions.lit(
+        """{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"name":"g","gauge":{"dataPoints":[{"asDouble":1.5}]}}]}]}]}"""))
+      .withColumn("otlptline", org.apache.spark.sql.functions.lit(
+        """{"resourceSpans":[{"scopeSpans":[{"spans":[{"name":"s"}]}]}]}"""))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)
