@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 import scala.jdk.CollectionConverters._
 import graft.ops._
-import graft.sink.{FanOutWriter, TableIO}
+import graft.sink.{FanOutWriter, StageMetrics, TableIO}
 
 /** Config-driven pipeline builder — the Spark analog of the reference's
   * pipeline-config surface (`Pipeline::Init`,
@@ -343,19 +343,53 @@ object PipelineConfig {
       multicast: Option[RouteOps.MulticastRouter] = None,
       sink: Option[SinkSpec] = None,
       // dynamic sink naming (flusher_kafka `Topic: "logs_%{content.x}"`)
-      topic: Option[RouteOps.TopicTemplate] = None) {
+      topic: Option[RouteOps.TopicTemplate] = None,
+      // per-stage metadata for self-monitor counters (parallel to
+      // `processors` when built by parse(); empty for hand-built specs)
+      stageInfo: Seq[StageMetrics.StageInfo] = Nil) {
     /** The composed pipeline: processor line, then routing column. */
-    def apply(df: DataFrame): DataFrame = {
-      val processed = processors.foldLeft(df)((d, s) => s(d))
+    def apply(df: DataFrame): DataFrame =
+      route(processors.foldLeft(df)((d, s) => s(d)))
+
+    private def route(processed: DataFrame): DataFrame = {
       val routed = router.fold(processed)(r => r(processed))
       val cast = multicast.fold(routed)(m => m.explodeSinks(routed))
       topic.fold(cast)(t => t(cast))
     }
 
+    private def infos: Seq[StageMetrics.StageInfo] =
+      if (stageInfo.size == processors.size) stageInfo
+      else processors.map(_ => StageMetrics.StageInfo("stage"))
+
+    /** The processor line instrumented with the reference's per-plugin
+      * self-monitor counters (in/out/discarded, parse success/fail) —
+      * [[StageMetrics]]. Run one action on the returned frame, then
+      * read `.counters`. Routing is NOT applied here; compose with
+      * `route` via [[runObserved]] for the end-to-end shape. */
+    def applyObserved(df: DataFrame): StageMetrics.Observed =
+      StageMetrics.instrument(df, infos.zip(processors))
+
+    /** [[run]] with self-monitor counters: the processor line is
+      * observed and materialized once (eager localCheckpoint fires the
+      * observe aggregates — also the write below then reuses the
+      * materialized rows instead of recomputing the line per sink),
+      * then routed and written exactly as [[run]]. */
+    def runObserved(df: DataFrame, io: TableIO, runId: String)
+        : (Int, Seq[StageMetrics.StageCounters]) = {
+      val observed = applyObserved(df)
+      val mat = observed.df.localCheckpoint()
+      val counters = observed.counters
+      (writeRouted(route(mat), df, io, runId), counters)
+    }
+
     /** End-to-end: configured pipeline → resumable fan-out write →
       * per-sink aggregates — the YAML twin of
       * [[graft.run.PipelineRunner.run]]. Returns buckets written. */
-    def run(df: DataFrame, io: TableIO, runId: String): Int = {
+    def run(df: DataFrame, io: TableIO, runId: String): Int =
+      writeRouted(apply(df), df, io, runId)
+
+    private def writeRouted(routed: DataFrame, df: DataFrame, io: TableIO,
+        runId: String): Int = {
       val sk = sink.getOrElse(throw new IllegalArgumentException(
         "config has no 'sink' section"))
       // a dynamic topic template means the sink set is data-dependent:
@@ -370,7 +404,6 @@ object PipelineConfig {
       val writer = FanOutWriter(io, table = sk.table,
         numBuckets = sk.numBuckets, bucketKeys = sk.bucketKeys,
         sinks = sinkNames)
-      val routed = apply(df)
       val written = writer.write(routed, runId)
       sk.aggBucket.foreach { b =>
         val back = io.read(df.sparkSession, sk.table)
@@ -386,13 +419,25 @@ object PipelineConfig {
       if (text.trim.startsWith("{")) new ObjectMapper()
       else new ObjectMapper(new YAMLFactory())
     val root = mapper.readTree(text)
-    val stages = Option(root.get("processors")).toSeq
+    val stageDefs = Option(root.get("processors")).toSeq
       .flatMap(_.elements.asScala).map { p =>
         val kind = str(p, "type")
-        registry.getOrElse(kind,
+        val stage = registry.getOrElse(kind,
           throw new IllegalArgumentException(s"unknown processor type '$kind'"))
           .apply(p)
+        // parse stages: success ⇔ the first declared output key was
+        // extracted (exact for regex/delimiter — a match fills every
+        // key; a proxy for free-schema json/kv, where the key may also
+        // be genuinely absent from a parsed document)
+        val successKey = kind match {
+          case "parse_regex" | "parse_json" | "parse_delimiter" |
+               "parse_kv" | "grok" | "grok_custom" =>
+            strs(p, "keys").headOption
+          case _ => None
+        }
+        (StageMetrics.StageInfo(kind, successKey), stage)
       }
+    val stages = stageDefs.map(_._2)
     val router = Option(root.get("router")).filter(_.hasNonNull("sourceKey"))
       .map { r =>
         val rules = Option(r.get("rules")).toSeq.flatMap(_.elements.asScala)
@@ -438,6 +483,7 @@ object PipelineConfig {
     require(topic.isEmpty || (router.isEmpty && multicast.isEmpty),
       "a dynamic sink 'topic' template cannot be combined with " +
         "'router'/'multicast' (both write the routing column)")
-    Spec(stages, router, multicast, sink, topic)
+    Spec(stages, router, multicast, sink, topic,
+      stageInfo = stageDefs.map(_._1))
   }
 }
