@@ -671,6 +671,15 @@ object SparkEntry {
       SimilarityOps.SignLsh(planes = 8, dims = 64)
         .topK(e, e.filter(col("vec_id") === 0), k = 10)
     },
+    "ann_lsh_indexed" -> { (s, dir) =>
+      val e = tbl(s, dir, "embeddings")
+      val lsh = SimilarityOps.SignLsh(planes = 8, dims = 64)
+      val io = graft.sink.TableIO(
+        java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString)
+      lsh.writeIndex(e, io, "lsh_index")
+      lsh.topKIndexed(s, io, "lsh_index", e.filter(col("vec_id") === 0),
+        k = 10)
+    },
     "ann_ivf" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")
       SimilarityOps.IvfIndex(nlist = 16, nprobe = 4)
@@ -1546,6 +1555,42 @@ object SparkEntry {
            cand AS (
              SELECT e.vec_id, e.embedding FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id, qb
              WHERE s.b = qb.b
+           ), z AS (
+             SELECT c.vec_id, unnest(c.embedding) AS x, unnest(qv.v) AS y FROM cand c, qv
+           ), sc AS (
+             SELECT vec_id, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM z GROUP BY vec_id
+           )
+           SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
+           FROM sc ORDER BY 1 LIMIT 10""",
+
+      // same sketch as ann_lsh, but candidates come from the query's
+      // bucket plus every Hamming-distance-1 probe bucket (the indexed
+      // path's default multi-probe set is order-independent: all flips)
+      "ann_lsh_indexed" ->
+        """WITH planes AS (
+             SELECT p.p, d.d,
+               CASE WHEN cast(('0x' || substr(md5(p.p || ':' || d.d), 1, 1)) AS BIGINT) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS w
+             FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS d) d
+           ), proj AS (
+             SELECT e.vec_id, pl.p, sum(cast(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS s
+             FROM embeddings e, planes pl GROUP BY 1, 2
+           ), sig AS (
+             SELECT vec_id, cast(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS b
+             FROM proj GROUP BY 1
+           ), qb AS (SELECT b FROM sig WHERE vec_id = 0),
+           probes AS (
+             SELECT qb.b AS pb FROM qb
+             UNION ALL
+             SELECT xor(qb.b, (1 << p.p)) FROM qb, (SELECT unnest(range(0, 8)) AS p) p
+           ),
+           qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+           cand AS (
+             SELECT e.vec_id, e.embedding FROM embeddings e
+             JOIN sig s ON s.vec_id = e.vec_id JOIN probes ON s.b = probes.pb
            ), z AS (
              SELECT c.vec_id, unnest(c.embedding) AS x, unnest(qv.v) AS y FROM cand c, qv
            ), sc AS (

@@ -84,7 +84,9 @@ object SimilarityOps {
       }
 
     /** ANN top-k: restrict to the query's bucket, exact cosine rerank.
-      * Returns (rank, idCol) like the brute-force tier. */
+      * Returns (rank, idCol) like the brute-force tier. One-shot: the
+      * corpus bucket column is recomputed per query — repeated queries
+      * at scale want [[writeIndex]] + [[topKIndexed]]. */
     def topK(corpus: DataFrame, query: DataFrame, k: Int,
         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
       val q = query.select(col(vecCol).as("__qv__"),
@@ -93,6 +95,65 @@ object SimilarityOps {
         .join(broadcast(q), col("__b__") === col("__qb__"))
       val scored = cand
         .withColumn("cos", cosine(col(vecCol), col("__qv__")))
+      rankTopK(scored, k, idCol)
+    }
+
+    /** Materialize the LSH index: the corpus written
+      * `partitionBy(bucket)` — the at-rest layout where a query scans
+      * only its probe-bucket partitions (`PartitionFilters` in the
+      * scan) instead of re-sketching the corpus per query. The IVF
+      * treatment ([[IvfIndex.writeIndex]]) for the hyperplane tier. */
+    def writeIndex(corpus: DataFrame, io: graft.sink.TableIO, table: String,
+        vecCol: String = "embedding"): Unit =
+      io.overwritePartitions(
+        corpus.withColumn("bucket", bucket(col(vecCol))), table,
+        Seq("bucket"))
+
+    /** Driver-side multi-probe bucket list for ONE query vector: its
+      * own bucket first, then single-plane sign flips ordered by how
+      * close the query's projection is to that hyperplane (smallest
+      * |margin| first — the classic multi-probe order: near-boundary
+      * planes are the likeliest to disagree for true neighbors).
+      * Bounded control-plane math; the per-plane fold matches the
+      * Catalyst `aggregate` in [[bucket]] left-to-right. */
+    private[ops] def probeBuckets(qv: Array[Double],
+        multiProbe: Int): Seq[Long] = {
+      val dots = weights.map { w =>
+        var s = 0.0
+        var d = 0
+        while (d < math.min(w.length, qv.length)) { s += qv(d) * w(d); d += 1 }
+        s
+      }
+      val qb = dots.zipWithIndex
+        .map { case (s, p) => if (s > 0) 1L << p else 0L }.sum
+      qb +: dots.zipWithIndex.sortBy { case (s, _) => math.abs(s) }
+        .take(math.max(0, math.min(multiProbe, planes)))
+        .map { case (_, p) => qb ^ (1L << p) }.toSeq
+    }
+
+    /** ANN top-k over a materialized index: the probe buckets become a
+      * partition-pruning IN-list, then exact rerank over only those
+      * partitions. `multiProbe` = how many neighboring buckets (one
+      * flipped plane each) to scan besides the query's own — the
+      * recall/IO dial; default scans all `planes`+1 Hamming-≤1
+      * buckets. */
+    def topKIndexed(spark: org.apache.spark.sql.SparkSession,
+        io: graft.sink.TableIO, table: String, query: DataFrame, k: Int,
+        multiProbe: Int = -1, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame = {
+      val qRows = query
+        .select(transform(col(vecCol), x => x.cast("double")).as("__qv__"))
+        .take(1)
+      if (qRows.isEmpty)
+        return io.read(spark, table).limit(0)
+          .select(lit(0).cast("int").as("rank"), col(idCol))
+      val qv = qRows.head.getSeq[Double](0).toArray
+      val probes = if (multiProbe < 0) planes else multiProbe
+      val buckets = probeBuckets(qv, probes)
+      val qVec = array(qv.map(lit).toIndexedSeq: _*) // literal: broadcast-free
+      val cand = io.read(spark, table)
+        .where(col("bucket").isin(buckets: _*)) // partition pruning
+      val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))
       rankTopK(scored, k, idCol)
     }
   }

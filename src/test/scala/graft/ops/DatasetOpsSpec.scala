@@ -414,6 +414,32 @@ class DatasetOpsSpec extends AnyFunSuite {
       dQuery.limit(0), 4).count() == 0)
   }
 
+  test("sign-lsh index: partitioned write + multi-probe partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    val io = graft.sink.TableIO(dir)
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (10L, Seq(0.9f, 0.1f, 0f, 0f)), (11L, Seq(0.1f, 0.9f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq((99L, Seq(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    val lsh = SimilarityOps.SignLsh(planes = 4, dims = 4)
+    lsh.writeIndex(corpus, io, "lsh_index")
+    val via = lsh.topKIndexed(spark, io, "lsh_index", query, 4)
+    // pruning visible in the scan: only probe-bucket partitions read
+    val plan = via.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    // multiProbe=0 = exact bucket only → same rows as the one-shot topK
+    val exact = lsh.topKIndexed(spark, io, "lsh_index", query, 4,
+      multiProbe = 0).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val direct = lsh.topK(corpus, query, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(exact == direct)
+    // full multi-probe widens recall: candidates ⊇ exact-bucket hits
+    assert(via.count() >= exact.size)
+    assert(lsh.topKIndexed(spark, io, "lsh_index", query.limit(0), 4)
+      .count() == 0)
+  }
+
   test("fast hash tier: same dup/non-dup pair decisions as the portable md5 tier") {
     // exact dups + clearly-disjoint docs: both hash families must agree
     // on the PAIR SET (estimates may differ on borderline docs, so the
