@@ -277,31 +277,29 @@ object DedupOps {
     private def h(s: Column): Column =
       if (portable) PortableHash.md32(s) else PortableHash.fast32(s, 0)
 
-    /** long column: the simhash of `textCol`. */
-    def sketch(textCol: Column): Column = {
-      // hash each token ONCE into an array — the hash must be a lambda
-      // variable in the per-bit loop, or Catalyst recomputes the md5
-      // once per (token, bit): 32× the hashing cost (measured).
-      val tokenHashes = transform(words(textCol), t => h(t))
-      // per-token ±1 votes summed per bit, then sign → bit. Bit tests
-      // are integer shiftright/shiftleft (functions.shiftleft only takes
-      // Int literals, so call_function passes the column bit index) —
-      // double pow/floor math matches only up to 53-bit sketches.
-      def bitOf(hv: Column, b: Column): Column =
-        call_function("shiftright", hv, b).bitwiseAND(lit(1L))
-      val sums = aggregate(
-        tokenHashes,
-        array_repeat(lit(0L), bits),
-        (acc, hv) =>
-          zip_with(acc, sequence(lit(0), lit(bits - 1)),
-            (a, b) => a + when(bitOf(hv, b) === 1, lit(1L))
-              .otherwise(lit(-1L))))
-      aggregate(
-        zip_with(sums, sequence(lit(0), lit(bits - 1)),
-          (s, b) => when(s > 0,
-            call_function("shiftleft", lit(1L), b)).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
-    }
+    /** long column: the simhash of `textCol`.
+      *
+      * Hash each token ONCE into a let-bound array (the hash must be a
+      * lambda variable, or Catalyst recomputes the md5 per (token,
+      * bit): 32× the hashing cost — measured). Then one scalar-
+      * accumulator `aggregate` PER BIT counting set bits: the ±1 vote
+      * sum is positive iff 2·popcount_b > n, so the old per-token
+      * 32-slot `zip_with` accumulator (one fresh array allocation per
+      * token — the dominant cost, r3 plan audit) collapses into
+      * allocation-free long adds. Bit tests are integer shiftright
+      * (never pow/floor doubles — exact past 53-bit sketches). */
+    def sketch(textCol: Column): Column =
+      graft.functions.Cols.let(transform(words(textCol), t => h(t))) { th =>
+        when(th.isNotNull, {
+          val n = size(th)
+          (0 until bits).map { b =>
+            val cnt = aggregate(th, lit(0L), (acc, hv) =>
+              acc + call_function("shiftright", hv, lit(b))
+                .bitwiseAND(lit(1L)))
+            when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        })
+      }
 
     def apply(df: DataFrame, idCol: String = "doc_id",
         textCol: String = "text"): DataFrame =
@@ -318,7 +316,14 @@ object DedupOps {
         textCol: String = "text"): DataFrame = {
       val slices = maxDist + 1
       val width = bits / slices
-      val sk = apply(df, idCol, textCol)
+      // materialize the (id, simhash) table BEFORE the self-join: it is
+      // tiny (16 bytes/doc — the "materialize dim tables before big
+      // joins" lesson), and without the barrier the join evaluates the
+      // sketch expression FOUR times per doc — once per side, plus once
+      // per side inside the scan, because the join keys' IsNotNull
+      // filter pushes down with the whole sketch tree substituted
+      // (measured: 4.9 s → 2.x s on the sf0.1 pair join)
+      val sk = apply(df, idCol, textCol).localCheckpoint()
       // Integer bit arithmetic (shiftright + mask): double-division
       // bucketing loses low bits past 53-bit sketches and would silently
       // drop near-dup pairs.
