@@ -178,4 +178,64 @@ class GrokSpec extends AnyFunSuite {
     assert(r.getLong(0) == 42L && r.getDouble(1) == 1.5 &&
       r.getString(2) == "boot")
   }
+
+  test("full reference default dictionary: every pattern name from " +
+    "processor_grok_default_patterns.go compiles to a valid Java regex") {
+    val refNames = Seq(
+      "BASE10NUM", "BASE16FLOAT", "BASE16NUM", "CISCOMAC",
+      "COMBINEDAPACHELOG", "COMMONAPACHELOG", "COMMONMAC", "DATA", "DATE",
+      "DATESTAMP", "DATESTAMP_EVENTLOG", "DATESTAMP_OTHER",
+      "DATESTAMP_RFC2822", "DATESTAMP_RFC822", "DATE_EU", "DATE_US", "DAY",
+      "EMAILADDRESS", "EMAILLOCALPART", "GREEDYDATA", "HOST", "HOSTNAME",
+      "HOSTPORT", "HOUR", "HTTPD20_ERRORLOG", "HTTPD24_ERRORLOG",
+      "HTTPDATE", "HTTPDERROR_DATE", "HTTPDUSER", "HTTPD_ERRORLOG", "INT",
+      "IP", "IPORHOST", "IPV4", "IPV6", "ISO8601_SECOND",
+      "ISO8601_TIMEZONE", "LOGLEVEL", "MAC", "MINUTE", "MONTH", "MONTHDAY",
+      "MONTHNUM", "MONTHNUM2", "NONNEGINT", "NOTSPACE", "NUMBER", "PATH",
+      "POSINT", "PROG", "QS", "QUOTEDSTRING", "SECOND", "SPACE",
+      "SYSLOGBASE", "SYSLOGFACILITY", "SYSLOGHOST", "SYSLOGPROG",
+      "SYSLOGTIMESTAMP", "TIME", "TIMESTAMP_ISO8601", "TTY", "TZ",
+      "UNIXPATH", "URI", "URIHOST", "URIPARAM", "URIPATH", "URIPATHPARAM",
+      "URIPROTO", "URN", "USER", "USERNAME", "UUID", "WINDOWSMAC",
+      "WINPATH", "WORD", "YEAR")
+    assert(refNames.size == 78)
+    refNames.foreach { n =>
+      val (rx, _) = Grok.compile(s"%{$n:x}")
+      java.util.regex.Pattern.compile(rx) // throws on an invalid expansion
+    }
+    // and nothing beyond the reference set is silently missing
+    assert(refNames.toSet.subsetOf(Grok.defaultPatterns.keySet))
+  }
+
+  test("new pattern families match: paths, uri/urn, ipv6, datestamps, " +
+    "tty, syslog base, httpd error log") {
+    def m(pat: String, s: String): Boolean = {
+      val (rx, _) = Grok.compile(pat)
+      java.util.regex.Pattern.compile(rx).matcher(s).matches()
+    }
+    assert(m("%{UNIXPATH:p}", "/var/log/app.log"))
+    assert(m("%{WINPATH:p}", "C:\\Windows\\System32\\drivers"))
+    assert(m("%{PATH:p}", "/usr/local/bin"))
+    assert(m("%{IP:ip}", "2001:db8::8a2e:370:7334"))
+    assert(m("%{IP:ip}", "192.168.0.1"))
+    assert(m("%{URI:u}", "https://user@www.example.com:8080/a/b?x=1"))
+    assert(m("%{URN:u}", "urn:ietf:rfc:2648"))
+    assert(m("%{DATESTAMP:d}", "01/02/2024 15:04:05"))
+    assert(m("%{DATESTAMP_RFC2822:d}", "Mon, 02 Jan 2006 15:04:05 +07:00"))
+    assert(m("%{DATESTAMP_EVENTLOG:d}", "20240102150405"))
+    assert(m("%{TTY:t}", "/dev/pts/3"))
+    assert(m("%{SYSLOGBASE}", "Aug  1 14:31:58 host polkitd[457]:"))
+    assert(!m("%{MONTHNUM2:n}", "9")) // zero-padded only, unlike MONTHNUM
+    val (rx, fields) = Grok.compileIndexed("%{HTTPD24_ERRORLOG}")
+    val mm = java.util.regex.Pattern.compile(rx).matcher(
+      "[Fri Sep 09 10:42:29 2011] [core:error] [pid 35708:tid 4328636416]" +
+        " [client 72.15.99.187:12345] File does not exist:" +
+        " /usr/local/apache2/htdocs/favicon.ico")
+    assert(mm.matches())
+    val byName = fields.map { case (a, _, i) => a -> mm.group(i) }.toMap
+    assert(byName("module") == "core" && byName("loglevel") == "error" &&
+      byName("pid") == "35708" && byName("client") == "72.15.99.187" &&
+      byName("errorcode") == "File does not exist" &&
+      byName("message") == "/usr/local/apache2/htdocs/favicon.ico")
+  }
 }
