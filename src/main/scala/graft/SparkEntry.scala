@@ -565,6 +565,46 @@ object SparkEntry {
           col("start"), col("end"), col("duration"), col("attribute"),
           col("statusCode"), col("statusMessage"))
     },
+    // binary wire decoders: protobuf payloads cannot be synthesized in
+    // SQL from the tables, so both sides derive from the same
+    // deterministic integer range — Spark encodes + decodes the real
+    // wire bytes (snappy + proto), DuckDB computes the expected rows
+    "remote_write_parse" -> { (s, dir) =>
+      val _ = dir
+      import s.implicits._
+      val payloads = (0 until 48).map { i =>
+        (i.toLong, org.xerial.snappy.Snappy.compress(
+          BinaryDecoders.Encode.writeRequest(Seq(
+            (s"rw_metric_${i % 3}",
+              Seq("instance" -> s"inst-$i", "job" -> s"job-${i % 5}"),
+              Seq((i + 0.5, 1663904182000L + i),
+                (i * 2.0, 1663904183000L + i)))))))
+      }
+      BinaryDecoders.RemoteWriteParser("payload")(
+        payloads.toDF("pid", "payload"))
+        .select("pid", "__name__", "__labels__", "__time_nano__",
+          "__value__")
+    },
+    "sls_pb_parse" -> { (s, dir) =>
+      val _ = dir
+      import s.implicits._
+      val payloads = (0 until 48).map { i =>
+        (i.toLong, BinaryDecoders.Encode.logGroup(
+          topic = s"t-${i % 2}", source = s"10.0.0.$i",
+          tags = Seq("host" -> s"h$i"),
+          logs = Seq(
+            (1663904182L + i, Seq("content" -> s"line-$i",
+              "level" -> (if (i % 2 == 0) "info" else "warn"))),
+            (1663904183L + i, Seq("content" -> s"next-$i")))))
+      }
+      val mapStr = (m: Column) => array_join(array_sort(
+        transform(map_entries(m), e =>
+          concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+      BinaryDecoders.SlsPbParser("payload")(payloads.toDF("pid", "payload"))
+        .select(col("pid"), col("log_time"),
+          mapStr(col("contents")).as("contents_str"), col("topic"),
+          col("source"), mapStr(col("log_tags")).as("tags_str"))
+    },
     "statsd_parse" -> { (s, dir) =>
       val t = transcripts(s, dir)
       val m3 = pmod(col("turn_idx"), lit(3))
@@ -1308,6 +1348,28 @@ object SparkEntry {
              'child-' || turn_idx, '[]', '[]', '', 0, 0, 0, '{}',
              'UNSET', ''
            FROM tb"""),
+
+      "remote_write_parse" ->
+        """WITH t AS (SELECT unnest(range(0, 48)) AS i)
+           SELECT i AS pid, 'rw_metric_' || (i % 3) AS "__name__",
+             'instance#$#inst-' || i || '|job#$#job-' || (i % 5) AS "__labels__",
+             (1663904182000 + i) * 1000000 AS "__time_nano__",
+             i || '.5' AS "__value__" FROM t
+           UNION ALL
+           SELECT i, 'rw_metric_' || (i % 3),
+             'instance#$#inst-' || i || '|job#$#job-' || (i % 5),
+             (1663904183000 + i) * 1000000, cast(i * 2 AS VARCHAR) FROM t""",
+
+      "sls_pb_parse" ->
+        """WITH t AS (SELECT unnest(range(0, 48)) AS i)
+           SELECT i AS pid, 1663904182 + i AS log_time,
+             'content=line-' || i || ',level=' ||
+               (CASE WHEN i % 2 = 0 THEN 'info' ELSE 'warn' END) AS contents_str,
+             't-' || (i % 2) AS topic, '10.0.0.' || i AS source,
+             'host=h' || i AS tags_str FROM t
+           UNION ALL
+           SELECT i, 1663904183 + i, 'content=next-' || i,
+             't-' || (i % 2), '10.0.0.' || i, 'host=h' || i FROM t""",
 
       "statsd_parse" -> withCte(
         """, base AS (

@@ -282,6 +282,19 @@ object PipelineConfig {
       OtlpOps.OtlpTraceParser(
         strOpt(n, "sourceKey").getOrElse("payload")).apply _
     },
+    "raw_parse" -> { n =>
+      BinaryDecoders.RawParser(strOpt(n, "sourceKey").getOrElse("payload"),
+        strOpt(n, "destKey").getOrElse("content")).apply _
+    },
+    "remote_write_parse" -> { n =>
+      BinaryDecoders.RemoteWriteParser(
+        strOpt(n, "sourceKey").getOrElse("payload"),
+        snappy = bool(n, "snappy", true)).apply _
+    },
+    "sls_pb_parse" -> { n =>
+      BinaryDecoders.SlsPbParser(
+        strOpt(n, "sourceKey").getOrElse("payload")).apply _
+    },
     // -- deterministic sampling / mixing (training-data curation) ----------
     "sample_hash" -> { n =>
       SampleOps.HashSample(str(n, "keyField"), dbl(n, "rate", 1.0),

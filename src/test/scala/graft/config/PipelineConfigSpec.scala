@@ -109,6 +109,10 @@ class PipelineConfigSpec extends AnyFunSuite {
       // one data point / one span per record → exact pass-through counts
       "otlp_metric_parse" -> """{"type":"otlp_metric_parse","sourceKey":"otlpmline"}""",
       "otlp_trace_parse" -> """{"type":"otlp_trace_parse","sourceKey":"otlptline"}""",
+      "raw_parse" -> """{"type":"raw_parse","sourceKey":"rawbin"}""",
+      // one sample / one log per payload → exact pass-through counts
+      "remote_write_parse" -> """{"type":"remote_write_parse","sourceKey":"rwbin"}""",
+      "sls_pb_parse" -> """{"type":"sls_pb_parse","sourceKey":"slsbin"}""",
       // rate/weight 1.0 → exact pass-through (harness asserts no rows lost)
       "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
       "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",
@@ -139,6 +143,15 @@ class PipelineConfigSpec extends AnyFunSuite {
         """{"resourceMetrics":[{"scopeMetrics":[{"metrics":[{"name":"g","gauge":{"dataPoints":[{"asDouble":1.5}]}}]}]}]}"""))
       .withColumn("otlptline", org.apache.spark.sql.functions.lit(
         """{"resourceSpans":[{"scopeSpans":[{"spans":[{"name":"s"}]}]}]}"""))
+      .withColumn("rawbin", org.apache.spark.sql.functions.lit(
+        "raw line".getBytes("UTF-8")))
+      .withColumn("rwbin", org.apache.spark.sql.functions.lit(
+        org.xerial.snappy.Snappy.compress(
+          graft.ops.BinaryDecoders.Encode.writeRequest(Seq(
+            ("m", Nil, Seq((1.0, 1663904182000L))))))))
+      .withColumn("slsbin", org.apache.spark.sql.functions.lit(
+        graft.ops.BinaryDecoders.Encode.logGroup("t", "s", Nil,
+          Seq((1663904182L, Seq("content" -> "x"))))))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)

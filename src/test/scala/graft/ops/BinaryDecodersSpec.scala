@@ -1,0 +1,93 @@
+package graft.ops
+// (semantics below cite the reference's decoders; wire bytes are
+// produced by the hand-rolled encoder, the inverse of the reader)
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession._
+
+/** Snappy+protobuf wire decoders on the mapPartitions seam:
+  * prometheus remote-write (pkg/protocol/decoder/prometheus/
+  * decoder.go:120-151) and SLS LogGroup (decoder/sls/decoder.go:30).
+  */
+class BinaryDecodersSpec extends AnyFunSuite {
+
+  private def binDf(payloads: Array[Byte]*) = {
+    val s = spark
+    import s.implicits._
+    payloads.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("pid", "payload")
+  }
+
+  test("remote-write: snappy WriteRequest → one metric-log row per " +
+    "sample, sorted sanitized labels, ms → nanos") {
+    val body = BinaryDecoders.Encode.writeRequest(Seq(
+      ("cpu_usage", Seq("instance" -> "host-1", "zone.id" -> "a|b"),
+        Seq((0.64, 1663904182000L), (2.0, 1663904183000L))),
+      ("mem_free", Seq("instance" -> "host-2"), Seq((1.5, 1663904182000L)))))
+    val payload = org.xerial.snappy.Snappy.compress(body)
+    val out = collectMaps(
+      BinaryDecoders.RemoteWriteParser("payload")(binDf(payload)))
+    assert(out.size == 3)
+    assert(out(0)("__name__") == "cpu_usage" &&
+      // key 'zone.id' sanitizes to zone_id; value '|' → '_'
+      out(0)("__labels__") == "instance#$#host-1|zone_id#$#a_b" &&
+      out(0)("__time_nano__") == 1663904182000000000L &&
+      out(0)("__value__") == "0.64")
+    assert(out(1)("__value__") == "2") // FormatFloat shortest: no ".0"
+    assert(out(2)("__name__") == "mem_free" && out(2)("__value__") == "1.5")
+  }
+
+  test("remote-write: uncompressed mode, hostile payloads drop rows " +
+    "not jobs") {
+    val body = BinaryDecoders.Encode.writeRequest(Seq(
+      ("m", Nil, Seq((1.0, 7L))))) // 1-digit ts → float-scaled to 19
+    val out = collectMaps(BinaryDecoders.RemoteWriteParser("payload",
+      snappy = false)(binDf(body, Array[Byte](0x7f, 0x00, 0x11),
+      Array.empty[Byte])))
+    assert(out.size == 1 && out(0)("__time_nano__") == 7000000000000000000L)
+    // and snappy mode rejects garbage that is not snappy-framed
+    assert(BinaryDecoders.RemoteWriteParser("payload")(
+      binDf(Array[Byte](1, 2, 3))).count() == 0)
+  }
+
+  test("sls LogGroup: one row per Log, contents map (dup keys last-" +
+    "wins), group envelope columns") {
+    val g = BinaryDecoders.Encode.logGroup(
+      topic = "topic-a", source = "10.0.0.1",
+      tags = Seq("host" -> "h1", "env" -> "prod"),
+      logs = Seq(
+        (1663904182L, Seq("content" -> "line one", "level" -> "info",
+          "level" -> "warn")),
+        (1663904183L, Seq("content" -> "line two"))))
+    val out = collectMaps(BinaryDecoders.SlsPbParser("payload")(binDf(g)))
+    assert(out.size == 2)
+    assert(out(0)("log_time") == 1663904182L &&
+      out(0)("contents") == Map("content" -> "line one", "level" -> "warn") &&
+      out(0)("topic") == "topic-a" && out(0)("source") == "10.0.0.1" &&
+      out(0)("log_tags") == Map("host" -> "h1", "env" -> "prod") &&
+      out(0)("time_ns") == null)
+    assert(out(1)("log_time") == 1663904183L &&
+      out(1)("contents") == Map("content" -> "line two"))
+    // malformed group drops
+    assert(BinaryDecoders.SlsPbParser("payload")(
+      binDf(Array[Byte](0x0a, 0x7f))).count() == 0)
+  }
+
+  test("raw decoder: payload passthrough into content") {
+    val out = collectMaps(BinaryDecoders.RawParser("payload")(
+      binDf("cpu.load.short,host=server01 value=0.64"
+        .getBytes("UTF-8"))))
+    assert(out(0)("content") == "cpu.load.short,host=server01 value=0.64")
+  }
+
+  test("decoders compose declaratively: filters push around the seam") {
+    val body = org.xerial.snappy.Snappy.compress(
+      BinaryDecoders.Encode.writeRequest(Seq(
+        ("a", Nil, Seq((1.0, 1663904182000L))),
+        ("b", Nil, Seq((2.0, 1663904182000L))))))
+    val out = BinaryDecoders.RemoteWriteParser("payload")(binDf(body))
+      .where(col("__name__") === "b")
+    assert(collectMaps(out).map(_("__value__")) == Seq("2"))
+  }
+}
