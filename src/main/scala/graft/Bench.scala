@@ -167,7 +167,17 @@ object Bench {
     val total = queryTimes.map(_._2).sum
     val secs = levels.map(c => f""""sec_local$c":${best(c)}%.2f""").mkString(",")
     val rates = levels.map(c => f""""turns_per_sec_local$c":${rate(c)}%.0f""").mkString(",")
-    println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"turns":$turns,"convs":$convs,$secs,$rates,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"scaling_efficiency":$eff%.3f,"scaling_pair":"$effPair","cores_ratio":4}}""")
+    val line =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"turns":$turns,"convs":$convs,$secs,$rates,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_4_to_16":$eff416%.3f,"scaling_efficiency":$eff%.3f,"scaling_pair":"$effPair","cores_ratio":4}}"""
+    println(line)
+    // ALSO persist the full line to a file: a stdout tail-capture can
+    // truncate the (long) query map from the front — the r3 artifact
+    // lost every query alphabetically before 'dedup_jaccard' that way.
+    // The file is the complete, canonical artifact.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    catch { case _: Exception => () } // stdout already carried the line
   }
 }

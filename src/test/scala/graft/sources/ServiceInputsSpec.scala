@@ -117,4 +117,50 @@ class ServiceInputsSpec extends AnyFunSuite {
       } finally q.stop()
     } finally server.close()
   }
+
+  test("wire decoder over the live socket source: streaming metric rows " +
+    "equal the batch decoder on the same frames (http-input shape)") {
+    // the reference's http-input deployment: a live listener feeding a
+    // wire decoder; here the config-built statsd stage runs UNCHANGED
+    // on the streaming frame — same plan as batch
+    val frames = Seq(
+      "page.views:1|c",
+      "fuel.level:0.5|g",
+      "users.online:2|c|@0.5|#country:china,city:hz",
+      "not a statsd line")
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val writerThread = new Thread(() => {
+      val sock = server.accept()
+      val w = new PrintWriter(sock.getOutputStream, true)
+      frames.foreach(w.println)
+      w.flush()
+      try { sock.getInputStream.read(): Unit } catch { case _: Exception => () }
+    })
+    writerThread.setDaemon(true)
+    writerThread.start()
+    try {
+      val stage = graft.config.PipelineConfig.parse(
+        """{"processors":[{"type":"statsd_parse","sourceKey":"line"}]}""")
+      val stream = stage(ServiceInputs.SocketLines(port = port).stream(spark))
+      val qname = s"wire_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        var tries = 0
+        while (spark.table(qname).count() < 3 && tries < 150) {
+          Thread.sleep(100); tries += 1
+        }
+        val cols = Seq("__name__", "__value__", "__stype__", "__rate__",
+          "__labels__", "__time_nano__")
+        def canon(df: DataFrame): Seq[String] =
+          df.select(cols.map(col): _*).collect()
+            .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+        val batch = graft.ops.WireFormats.StatsdParser("line")(
+          graft.SparkTestSession.textDf(frames: _*)
+            .withColumnRenamed("text", "line"))
+        assert(canon(spark.table(qname)) == canon(batch))
+      } finally q.stop()
+    } finally server.close()
+  }
 }
