@@ -439,13 +439,19 @@ object PipelineConfig {
           throw new IllegalArgumentException(s"unknown processor type '$kind'"))
           .apply(p)
         // parse stages: success ⇔ the first declared output key was
-        // extracted (exact for regex/delimiter — a match fills every
-        // key; a proxy for free-schema json/kv, where the key may also
-        // be genuinely absent from a parsed document)
+        // extracted (exact for regex/delimiter/grok — a match fills
+        // every key; a proxy for free-schema json/kv, where the key may
+        // also be genuinely absent from a parsed document). Grok
+        // declares its keys inside the match expression, so the first
+        // alias comes from compiling it.
         val successKey = kind match {
           case "parse_regex" | "parse_json" | "parse_delimiter" |
-               "parse_kv" | "grok" | "grok_custom" =>
+               "parse_kv" =>
             strs(p, "keys").headOption
+          case "grok" | "grok_custom" =>
+            strs(p, "match").headOption.flatMap(m =>
+              graft.functions.Grok
+                .compile(m, strMap(p, "customPatterns"))._2.headOption)
           case _ => None
         }
         (StageMetrics.StageInfo(kind, successKey), stage)

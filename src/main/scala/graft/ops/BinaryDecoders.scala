@@ -39,10 +39,16 @@ object BinaryDecoders {
   private final class Pb(buf: Array[Byte], start: Int, val end: Int) {
     var pos: Int = start
     def hasNext: Boolean = pos < end
+    // every read is bounds-checked against THIS sub-message's end: a
+    // truncated sub-message must fail (caller drops the payload), never
+    // silently read sibling bytes from the shared buffer
+    private def need(n: Int): Unit =
+      require(pos + n <= end, "read overruns sub-message")
     def varint(): Long = {
       var shift = 0
       var res = 0L
       while (shift < 64) {
+        need(1)
         val b = buf(pos); pos += 1
         res |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return res
@@ -52,10 +58,19 @@ object BinaryDecoders {
     }
     def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
     def fixed64(): Long = {
+      need(8)
       var v = 0L
       var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8
+      v
+    }
+    def fixed32(): Long = {
+      need(4)
+      var v = 0L
+      var i = 0
+      while (i < 4) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 4
       v
     }
     def lenDelimited(): Pb = {
@@ -72,9 +87,9 @@ object BinaryDecoders {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => need(8); pos += 8
       case 2 => lenDelimited()
-      case 5 => pos += 4
+      case 5 => need(4); pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
   }
@@ -83,10 +98,21 @@ object BinaryDecoders {
 
   // --- shared metric-log rendering (JVM twins of the Catalyst helpers) -----
 
-  /** Go FormatFloat('g',-1,64) for the wire value range. */
+  /** NewMetricLog value rendering (log_helper.go:258-266): the
+    * Prometheus staleness marker keeps its sentinel string; everything
+    * else is Go FormatFloat('g',-1,64) shortest. */
+  private val StaleNaNBits = 0x7ff0000000000002L
   private def goFmt(d: Double): String =
-    if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+    if (java.lang.Double.doubleToRawLongBits(d) == StaleNaNBits)
+      "__STALE_NAN__"
+    else if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
+
+  /** formatNewMetricName (log_helper.go:339-361): chars outside
+    * [A-Za-z0-9_:] → '_'. */
+  private def metricName(n: String): String =
+    n.map(c => if (c.isLetterOrDigit && c < 128 || c == '_' || c == ':') c
+      else '_')
 
   /** helper.MetricLabels: sanitized keys/values, key-sorted, #$#/|. */
   private def renderLabels(entries: Seq[(String, String)]): String =
@@ -178,7 +204,7 @@ object BinaryDecoders {
                 else raw
               parseWriteRequest(bytes)
             } catch { case _: Exception => Nil } // hostile payload → drop
-          decoded.map(s => Row.fromSeq(r.toSeq ++ Seq(s.name,
+          decoded.map(s => Row.fromSeq(r.toSeq ++ Seq(metricName(s.name),
             renderLabels(s.labels), tnNorm(s.tsMs), goFmt(s.value))))
         }
       }(Encoders.row(outSchema))
@@ -229,11 +255,7 @@ object BinaryDecoders {
             }
             contents(k) = v // duplicate keys: last wins
           case (4, 5) =>
-            var v = 0L
-            var i = 0
-            while (i < 4) { v |= (bytes(lg.pos + i) & 0xffL) << (8 * i); i += 1 }
-            lg.pos += 4
-            timeNs = Some(v)
+            timeNs = Some(lg.fixed32())
           case (_, w) => lg.skip(w)
         }
         logs += ((time, timeNs, contents.toMap))
@@ -333,7 +355,9 @@ object BinaryDecoders {
           samples.foreach { case (value, tsMs) =>
             bytesField(ts, 2, msg { sm =>
               keyed(sm, 1, 1)
-              val bits = java.lang.Double.doubleToLongBits(value)
+              // RAW bits: doubleToLongBits canonicalizes NaNs and would
+              // destroy the Prometheus staleness marker payload
+              val bits = java.lang.Double.doubleToRawLongBits(value)
               var i = 0
               while (i < 8) { sm.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
               keyed(sm, 2, 0); varint(sm, tsMs)

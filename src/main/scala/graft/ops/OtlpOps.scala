@@ -407,10 +407,12 @@ object OtlpOps {
   private def jsonStr(v: Column): Column =
     Cols.let(to_json(array(v)))(a => a.substr(lit(2), length(a) - 2))
 
-  /** One scalar AnyValue as a JSON value the way `json.Marshal(AsRaw())`
-    * renders it (same contract as OtlpLogParser.renderAny, plus
-    * bytes → base64 string); no composite fallthrough. */
-  private def renderScalarJson(v: Column): Column =
+  /** The scalar arms of `json.Marshal(AsRaw())` (same contract as
+    * OtlpLogParser.renderAny, plus bytes → base64 string) — null when
+    * no scalar field is set, so callers can coalesce in their own
+    * fallthrough. ONE copy: renderScalarJson and renderAnyJson both
+    * extend it. */
+  private def scalarJson(v: Column): Column =
     when(v.getField("stringValue").isNotNull,
       jsonStr(v.getField("stringValue")))
       .when(v.getField("intValue").try_cast("long").isNotNull,
@@ -422,7 +424,10 @@ object OtlpOps {
         goFloat(v.getField("doubleValue")))
       .when(v.getField("bytesValue").isNotNull,
         jsonStr(v.getField("bytesValue")))
-      .otherwise(lit("null"))
+
+  /** Scalar AnyValue → JSON; composites render "null". */
+  private def renderScalarJson(v: Column): Column =
+    coalesce(scalarJson(v), lit("null"))
 
   /** `json.Marshal` of a slice AsRaw: element order preserved. */
   private def arrayJson(v: Column): Column =
@@ -444,20 +449,10 @@ object OtlpOps {
 
   /** Full AnyValue → JSON: scalars, then one composite level. */
   private def renderAnyJson(v: Column): Column =
-    when(v.getField("stringValue").isNotNull,
-      jsonStr(v.getField("stringValue")))
-      .when(v.getField("intValue").try_cast("long").isNotNull,
-        v.getField("intValue").try_cast("long").cast("string"))
-      .when(v.getField("intValue").isNotNull, jsonStr(v.getField("intValue")))
-      .when(v.getField("boolValue").isNotNull,
-        v.getField("boolValue").cast("string"))
-      .when(v.getField("doubleValue").isNotNull,
-        goFloat(v.getField("doubleValue")))
-      .when(v.getField("bytesValue").isNotNull,
-        jsonStr(v.getField("bytesValue")))
-      .when(v.getField("arrayValue").isNotNull, arrayJson(v))
-      .when(v.getField("kvlistValue").isNotNull, kvlistJson(v))
-      .otherwise(lit("null"))
+    coalesce(scalarJson(v),
+      when(v.getField("arrayValue").isNotNull, arrayJson(v))
+        .when(v.getField("kvlistValue").isNotNull, kvlistJson(v)),
+      lit("null"))
 
   /** Attribute list → `{"k":v,…}`, keys sorted (Go map marshal order);
     * null/empty → `{}` (json.Marshal of an empty map). */

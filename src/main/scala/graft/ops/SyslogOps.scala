@@ -99,7 +99,10 @@ object SyslogOps {
 
     override def ok(src: Column): Column =
       src.isNotNull && src.rlike(regex) &&
-        regexp_extract(src, regex, 1).cast("int") <= 191 &&
+        // try_cast: a predicate reorder may evaluate this conjunct on a
+        // non-matching row, where the extract is "" and a plain ANSI
+        // cast would throw
+        regexp_extract(src, regex, 1).try_cast("int") <= 191 &&
         tsExpr(src).isNotNull // subsumes the month-name check
 
     override def fields(src: Column): Map[String, Column] = {
@@ -136,7 +139,9 @@ object SyslogOps {
 
     override def ok(src: Column): Column =
       src.isNotNull && src.rlike(regex) &&
-        regexp_extract(src, regex, 1).cast("int") <= 191 &&
+        // try_cast: total even if a predicate reorder evaluates the
+        // conjunct on a non-matching row (extract "" → ANSI cast throws)
+        regexp_extract(src, regex, 1).try_cast("int") <= 191 &&
         // a present timestamp must parse as RFC3339
         (regexp_extract(src, regex, 3) === "-" ||
           try_to_timestamp(regexp_extract(src, regex, 3)).isNotNull)

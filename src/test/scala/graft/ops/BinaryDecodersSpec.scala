@@ -51,6 +51,30 @@ class BinaryDecodersSpec extends AnyFunSuite {
       binDf(Array[Byte](1, 2, 3))).count() == 0)
   }
 
+  test("remote-write: dotted metric names sanitize, stale-NaN keeps its " +
+    "sentinel, truncated sub-messages drop the payload") {
+    val body = BinaryDecoders.Encode.writeRequest(Seq(
+      ("cpu.usage", Nil, Seq((1.0, 1663904182000L))),
+      ("m", Nil, Seq((java.lang.Double.longBitsToDouble(
+        0x7ff0000000000002L), 1663904182000L)))))
+    val out = collectMaps(BinaryDecoders.RemoteWriteParser("payload",
+      snappy = false)(binDf(body)))
+    // formatNewMetricName: '.' → '_' (log_helper.go:339)
+    assert(out(0)("__name__") == "cpu_usage")
+    // prometheus staleness marker survives as the reference sentinel
+    assert(out(1)("__value__") == "__STALE_NAN__")
+    // a sample sub-message whose declared length cuts the double short
+    // must fail bounds checks and drop the payload, not read siblings
+    val good = BinaryDecoders.Encode.writeRequest(Seq(
+      ("m", Nil, Seq((1.0, 1663904182000L)))))
+    val truncated = good.clone()
+    // find the sample length byte (tag 0x12 len ...) and shrink it
+    val sampleIdx = truncated.lastIndexOf(0x12.toByte)
+    truncated(sampleIdx + 1) = 4.toByte
+    assert(BinaryDecoders.RemoteWriteParser("payload", snappy = false)(
+      binDf(truncated)).count() == 0)
+  }
+
   test("sls LogGroup: one row per Log, contents map (dup keys last-" +
     "wins), group envelope columns") {
     val g = BinaryDecoders.Encode.logGroup(
