@@ -605,6 +605,37 @@ object SparkEntry {
           mapStr(col("contents")).as("contents_str"), col("topic"),
           col("source"), mapStr(col("log_tags")).as("tags_str"))
     },
+    "pyroscope_groups_parse" -> { (s, dir) =>
+      // pyroscope push ingest, groups (collapsed-stack) wire format:
+      // 3 profile lines per request (multi-frame with a spaced frame,
+      // 2-frame, single-frame) + a skipped no-space line; spy language
+      // alternates PosFirst/FunctionFirst layouts, units cycle through
+      // the cpu/mem/mutex families (decoder.go + raw/profile.go)
+      val t = transcripts(s, dir)
+      val m2 = pmod(col("turn_idx"), lit(2))
+      val m3 = pmod(col("turn_idx"), lit(3))
+      val req = t.select(
+        col("conv_id"), col("turn_idx"),
+        concat(
+          lit("main;fetch x db.go;handle_"), col("tool"), lit(" "),
+          col("turn_idx"), lit("\n"),
+          lit("zoo;boo "), col("turn_idx") * 2, lit("\n"),
+          lit("solo_"), col("role"), lit(" 3\n"),
+          lit("noise")).as("body"),
+        concat(lit("app-"), col("role"), lit(".cpu{profile_id=p"),
+          col("turn_idx"), lit(",svc="), col("tool"), lit("}")).as("name"),
+        lit("1673495500").as("from"), lit("1673495510").as("until"),
+        lit("100").as("sampleRate"),
+        when(m2 === 0, "ebpfspy").otherwise("pyroscope-rbspy")
+          .as("spyName"),
+        when(m3 === 0, "samples").when(m3 === 1, "bytes")
+          .otherwise("lock_nanoseconds").as("units"),
+        lit("").as("aggregationType")) // empty → default "sum"
+      PyroscopeOps.GroupsParser(tags = Map("cluster" -> "sls-mall"))(req)
+        .select("conv_id", "turn_idx", "name", "stack", "language",
+          "type", "units", "valueTypes", "aggTypes", "dataType",
+          "durationNs", "profileID", "labels", "val")
+    },
     "statsd_parse" -> { (s, dir) =>
       val t = transcripts(s, dir)
       val m3 = pmod(col("turn_idx"), lit(3))
@@ -1375,6 +1406,44 @@ object SparkEntry {
            UNION ALL
            SELECT i, 1663904183 + i, 'content=next-' || i,
              't-' || (i % 2), '10.0.0.' || i, 'host=h' || i FROM t""",
+
+      // expected rows derived from the fixture's SOURCE columns — an
+      // independent cross-check of the groups-format decode path
+      "pyroscope_groups_parse" -> withCte(
+        """, b AS (
+             SELECT conv_id, turn_idx, role, tool,
+               mod(turn_idx, 2) AS m2,
+               CASE WHEN mod(turn_idx, 2) = 0 THEN 'ebpf' ELSE 'rb' END AS lang,
+               CASE WHEN mod(turn_idx, 3) = 0 THEN 'nanoseconds'
+                    WHEN mod(turn_idx, 3) = 1 THEN 'bytes'
+                    ELSE 'lock_nanoseconds' END AS u_out,
+               CASE WHEN mod(turn_idx, 3) = 0 THEN 'cpu'
+                    WHEN mod(turn_idx, 3) = 1 THEN 'mem'
+                    ELSE 'mutex' END AS vt,
+               CASE WHEN mod(turn_idx, 3) = 0 THEN 'profile_cpu'
+                    ELSE 'profile_unknown' END AS ptype,
+               '{"__name__":"app-' || role || '","cluster":"sls-mall","profile_id":"p'
+                 || turn_idx || '","svc":"' || tool || '"}' AS lbl,
+               CASE WHEN mod(turn_idx, 3) = 0 THEN 10000000 ELSE 1 END AS fac
+             FROM transcripts)
+           SELECT conv_id, turn_idx, 'handle_' || tool AS name,
+             (CASE WHEN m2 = 0 THEN 'fetch db.go' ELSE 'db.go fetch' END)
+               || chr(10) || 'main' AS stack,
+             lang AS language, ptype AS "type", u_out AS units,
+             vt AS "valueTypes", 'sum' AS "aggTypes",
+             'CallStack' AS "dataType",
+             cast(10000000000 AS BIGINT) AS "durationNs",
+             'p' || turn_idx AS "profileID", lbl AS labels,
+             printf('%.2f', cast(turn_idx * fac AS DOUBLE)) AS val
+           FROM b
+           UNION ALL
+           SELECT conv_id, turn_idx, 'boo', 'zoo', lang, ptype, u_out, vt,
+             'sum', 'CallStack', 10000000000, 'p' || turn_idx, lbl,
+             printf('%.2f', cast(turn_idx * 2 * fac AS DOUBLE)) FROM b
+           UNION ALL
+           SELECT conv_id, turn_idx, 'solo_' || role, '', lang, ptype,
+             u_out, vt, 'sum', 'CallStack', 10000000000, 'p' || turn_idx,
+             lbl, printf('%.2f', cast(3 * fac AS DOUBLE)) FROM b"""),
 
       "statsd_parse" -> withCte(
         """, base AS (

@@ -295,6 +295,15 @@ object PipelineConfig {
       BinaryDecoders.SlsPbParser(
         strOpt(n, "sourceKey").getOrElse("payload")).apply _
     },
+    "pyroscope_groups_parse" -> { n =>
+      val tags = Option(n.get("tags")).map(_.fields.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty[String, String])
+      PyroscopeOps.GroupsParser(
+        bodyKey = strOpt(n, "sourceKey").getOrElse("body"),
+        nameKey = strOpt(n, "nameKey").getOrElse("name"),
+        tags = tags).apply _
+    },
     // -- deterministic sampling / mixing (training-data curation) ----------
     "sample_hash" -> { n =>
       SampleOps.HashSample(str(n, "keyField"), dbl(n, "rate", 1.0),

@@ -113,6 +113,8 @@ class PipelineConfigSpec extends AnyFunSuite {
       // one sample / one log per payload → exact pass-through counts
       "remote_write_parse" -> """{"type":"remote_write_parse","sourceKey":"rwbin"}""",
       "sls_pb_parse" -> """{"type":"sls_pb_parse","sourceKey":"slsbin"}""",
+      // one collapsed-stack line per body → exact pass-through counts
+      "pyroscope_groups_parse" -> """{"type":"pyroscope_groups_parse","sourceKey":"pyrobody","nameKey":"pyroname"}""",
       // rate/weight 1.0 → exact pass-through (harness asserts no rows lost)
       "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
       "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",
@@ -152,6 +154,8 @@ class PipelineConfigSpec extends AnyFunSuite {
       .withColumn("slsbin", org.apache.spark.sql.functions.lit(
         graft.ops.BinaryDecoders.Encode.logGroup("t", "s", Nil,
           Seq((1663904182L, Seq("content" -> "x"))))))
+      .withColumn("pyrobody", org.apache.spark.sql.functions.lit("a;b 1"))
+      .withColumn("pyroname", org.apache.spark.sql.functions.lit("app"))
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)
