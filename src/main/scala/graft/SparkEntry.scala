@@ -721,6 +721,42 @@ object SparkEntry {
       DedupOps.NgramJaccard(shingleSize = 3, threshold = 0.2)
         .pairs(tbl(s, dir, "documents"))
     },
+    "decontaminate" -> { (s, dir) =>
+      // benchmark set = 8-word probes cut from every 25th document
+      // (simulated eval-set leakage); a doc is contaminated when any of
+      // its 8-grams equals a probe (GPT-3-style n-gram overlap rule)
+      val d = tbl(s, dir, "documents")
+      val bench = d
+        .select(col("doc_id").as("bench_id"),
+          DedupOps.words(col("text")).as("__w__"))
+        .where(pmod(col("bench_id"), lit(25)) === 0 &&
+          size(col("__w__")) >= 18)
+        .select(col("bench_id"),
+          array_join(slice(col("__w__"), 11, 8), " ").as("text"))
+      DedupOps.Decontaminate(n = 8).pairs(d, bench)
+        .select("doc_id", "bench_id", "n_overlap")
+    },
+    "paragraph_dedup" -> { (s, dir) =>
+      // docs assembled per conversation; every 7th turn is replaced by
+      // a shared footer, so cross-doc boilerplate collapses to its
+      // first occurrence and documents rebuild without it
+      val t = transcripts(s, dir)
+      val para = when(pmod(col("turn_idx"), lit(7)) === 0,
+        lit("-- transcript footer; do not reply --")).otherwise(col("text"))
+      val byConv = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val full = byConv.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val docs = t.select(col("conv_id"),
+          row_number().over(byConv).as("__rn__"),
+          array_join(collect_list(para).over(full), "\n\n").as("text"))
+        .where(col("__rn__") === 1)
+        .select(col("conv_id").as("doc_id"), col("text"))
+      DedupOps.ParagraphDedup()(docs)
+        .select("doc_id", "text", "n_kept", "n_dropped")
+    },
+    "corpus_ngrams" -> { (s, dir) =>
+      TextOps.topNgrams(tbl(s, dir, "documents"), n = 3, k = 100)
+    },
     "curation_survivors" -> { (s, dir) =>
       // the full curation chain: gate → exact dedup → LSH near-dup →
       // cluster resolution → survivor set (graft.run.CurationPipeline)
@@ -1487,6 +1523,56 @@ object SparkEntry {
       "dedup_exact" ->
         """SELECT md5(text) AS text_md5, count(*) AS n_copies,
            min(doc_id) AS keep_id FROM documents GROUP BY 1""",
+
+      "decontaminate" ->
+        """WITH w AS (
+             SELECT doc_id,
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+             FROM documents
+           ), bench AS (
+             SELECT doc_id AS bench_id, array_to_string(ws[11:18], ' ') AS probe
+             FROM w WHERE doc_id % 25 = 0 AND len(ws) >= 18
+           ), g AS (
+             SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+             FROM w, UNNEST(range(1, len(ws) - 6)) AS t(i)
+           )
+           SELECT g.doc_id AS doc_id, b.bench_id AS bench_id,
+             count(*) AS n_overlap
+           FROM g JOIN bench b ON g.gram = b.probe
+           GROUP BY 1, 2""",
+
+      "paragraph_dedup" -> withCte(
+        """, p AS (
+             SELECT conv_id, turn_idx,
+               CASE WHEN mod(turn_idx, 7) = 0
+                    THEN '-- transcript footer; do not reply --'
+                    ELSE text END AS para
+             FROM transcripts
+           ), k AS (
+             SELECT conv_id, turn_idx, para,
+               CASE WHEN length(para) < 1 THEN true
+                    ELSE (row_number() OVER
+                      (PARTITION BY para ORDER BY conv_id, turn_idx)) = 1
+               END AS keep
+             FROM p)
+           SELECT conv_id AS doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN para END,
+               chr(10) || chr(10) ORDER BY turn_idx), '') AS text,
+             count(CASE WHEN keep THEN 1 END) AS n_kept,
+             count(CASE WHEN NOT keep THEN 1 END) AS n_dropped
+           FROM k GROUP BY conv_id"""),
+
+      "corpus_ngrams" ->
+        """WITH w AS (
+             SELECT doc_id,
+               string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+             FROM documents
+           ), g AS (
+             SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+           )
+           SELECT gram, count(*) AS doc_freq FROM g
+           GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 100""",
 
       "token_count" ->
         """SELECT doc_id, cast(len(str_split(text, ' ')) AS INT) AS n_tokens,

@@ -325,6 +325,31 @@ object PipelineConfig {
         salt = int(n, "salt", 0),
         portable = bool(n, "portable", true)).apply _
     },
+    "decontaminate" -> { n =>
+      // benchmark = inline `probes` strings (eval items, like dict_map's
+      // inline dict) or a parquet `benchPath` with (bench_id, text)
+      val probes = Option(n.get("probes")).toSeq
+        .flatMap(_.elements.asScala).map(_.asText)
+      val benchPath = strOpt(n, "benchPath")
+      val op = DedupOps.Decontaminate(int(n, "n", 8),
+        int(n, "minOverlap", 1),
+        strOpt(n, "idField").getOrElse("doc_id"),
+        strOpt(n, "textField").getOrElse("text"))
+      df => {
+        val s = df.sparkSession
+        import s.implicits._
+        val bench = benchPath.map(s.read.parquet(_)).getOrElse(
+          probes.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("bench_id", "text"))
+        op.survivors(df, bench)
+      }
+    },
+    "paragraph_dedup" -> { n =>
+      DedupOps.ParagraphDedup(strOpt(n, "delim").getOrElse("\n\n"),
+        int(n, "minChars", 1),
+        strOpt(n, "idField").getOrElse("doc_id"),
+        strOpt(n, "textField").getOrElse("text")).apply _
+    },
     "prom_relabel" -> { n =>
       val rules = Option(n.get("rules")).toSeq.flatMap(_.elements.asScala)
         .map { r =>

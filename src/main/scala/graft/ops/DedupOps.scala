@@ -383,4 +383,110 @@ object DedupOps {
         .select("doc_a", "doc_b", "jaccard")
     }
   }
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word `n`-gram with an evaluation/benchmark set (the GPT-3 appendix
+    * C / PaLM-style n-gram overlap rule; n = 8..13 in practice).
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of
+    * rows, not billions — so its shingle table is BROADCAST and the
+    * corpus is never shuffled: parquet scan → per-row shingle explode →
+    * broadcast hash join → partially-aggregated (doc, bench) counts.
+    * One wide pass over the corpus, zero corpus shuffles before the
+    * final (much smaller) overlap aggregation. */
+  final case class Decontaminate(n: Int = 8, minOverlap: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text") {
+
+    private def grams(df: DataFrame, id: Column, text: Column,
+        as: String): DataFrame =
+      df.select(id.as(as), explode(shingles(words(text), n)).as("__gram__"))
+
+    /** (doc, bench, n_overlap) pairs: the number of DISTINCT shared
+      * n-grams (shingles() is distinct per side already), at least
+      * `minOverlap`. */
+    def pairs(docs: DataFrame, bench: DataFrame,
+        benchIdCol: String = "bench_id",
+        benchTextCol: String = "text"): DataFrame =
+      grams(docs, col(idCol), col(textCol), idCol)
+        .join(broadcast(
+          grams(bench, col(benchIdCol), col(benchTextCol), benchIdCol)
+            .distinct()), Seq("__gram__"))
+        .groupBy(col(idCol), col(benchIdCol))
+        .agg(count(lit(1)).as("n_overlap"))
+        .where(col("n_overlap") >= minOverlap)
+
+    /** The clean corpus: docs with NO benchmark overlap (left-anti on
+      * the contaminated id set). */
+    def survivors(docs: DataFrame, bench: DataFrame,
+        benchIdCol: String = "bench_id",
+        benchTextCol: String = "text"): DataFrame =
+      docs.join(
+        pairs(docs, bench, benchIdCol, benchTextCol)
+          .select(col(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+  }
+
+  /** Paragraph-level exact dedup (Dolma/CCNet-style): drop every
+    * paragraph after its FIRST occurrence across the whole corpus —
+    * boilerplate headers/footers/navigation collapse to one copy —
+    * and rebuild each document from its surviving paragraphs in order.
+    *
+    * First occurrence is the `(doc, position)`-smallest holder of the
+    * paragraph hash, computed with a partially-aggregated
+    * `groupBy(hash).agg(min(struct(doc, pos)))` + join back — NOT a
+    * window over the hash partition, which a hot boilerplate paragraph
+    * (billions of copies of one footer at 100 TB) would turn into a
+    * single-task straggler; the groupBy combines map-side and the join
+    * back is AQE-skew-splittable. Paragraphs shorter than `minChars`
+    * never dedup (the Dolma rule for empty/trivial lines). */
+  final case class ParagraphDedup(delim: String = "\n\n",
+      minChars: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text") {
+
+    private val delimRe = java.util.regex.Pattern.quote(delim)
+
+    /** Exploded paragraphs with their keep verdicts:
+      * (id, __pos__, __para__, __keep__). */
+    def paragraphs(df: DataFrame): DataFrame = {
+      val paras = df.select(col(idCol),
+          posexplode(split(col(textCol), delimRe))
+            .as(Seq("__pos__", "__para__")))
+        .withColumn("__ph__", md5(col("__para__").cast("binary")))
+      val firsts = paras
+        .where(length(col("__para__")) >= minChars)
+        .groupBy(col("__ph__"))
+        .agg(min(struct(col(idCol), col("__pos__"))).as("__first__"))
+      paras.join(firsts, Seq("__ph__"), "left")
+        .withColumn("__keep__",
+          col("__first__").isNull || // below minChars: never deduped
+            (col("__first__").getField(idCol) === col(idCol) &&
+              col("__first__").getField("__pos__") === col("__pos__")))
+        .drop("__ph__", "__first__")
+    }
+
+    /** Documents rebuilt from surviving paragraphs (every input doc
+      * stays present; a fully-duplicate doc comes back with empty text)
+      * plus kept/dropped counts. Reassembly uses the stable
+      * ordered-concat idiom: windowed collect_list over the doc
+      * partition (bounded by paragraphs-per-doc), null-skipping for
+      * dropped paragraphs. */
+    def apply(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos__"))
+      val full = byDoc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      paragraphs(df)
+        .select(col(idCol),
+          row_number().over(byDoc).as("__rn__"),
+          array_join(collect_list(
+            when(col("__keep__"), col("__para__"))).over(full), delim)
+            .as("text"),
+          sum(when(col("__keep__"), 1L).otherwise(0L)).over(full)
+            .as("n_kept"),
+          sum(when(col("__keep__"), 0L).otherwise(1L)).over(full)
+            .as("n_dropped"))
+        .where(col("__rn__") === 1)
+        .drop("__rn__")
+    }
+  }
 }

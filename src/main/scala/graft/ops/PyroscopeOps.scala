@@ -186,7 +186,7 @@ object PyroscopeOps {
             col("__pyro_name__").as("value"))), col("__pyro_brace__"),
             array(tagEnts: _*))
       val labelMap = map_from_entries(array_sort(dedupLastWins(allEnts)))
-      val md = md5(concat_ws(" ", col("__pyro_name__"),
+      val md = md5(concat_ws("\u0000", col("__pyro_name__"),
         coalesce(col("__pyro_from__").cast("string"), lit("")),
         coalesce(col("__pyro_dur_ns__").cast("string"), lit(""))))
       val metaL = meta.select((passthrough.map(col) ++ Seq(

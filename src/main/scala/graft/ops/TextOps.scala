@@ -26,6 +26,21 @@ object TextOps {
       size(bpeTokens(col(textCol))).cast("int").as("bpe_tokens"),
       length(col(textCol)).cast("int").as("n_chars"))
 
+  /** Corpus-level top-k word n-grams by document frequency — the
+    * vocabulary/contamination-audit statistic (which boilerplate
+    * phrases dominate; what to feed a BPE trainer). Distinct per doc
+    * (document frequency, not raw term frequency), partially-aggregated
+    * groupBy then `orderBy.limit(k)` = TakeOrderedAndProject — never a
+    * row_number over an unpartitioned window (CLAUDE.md). Deterministic
+    * tiebreak: count desc, gram asc. */
+  def topNgrams(df: DataFrame, n: Int = 3, k: Int = 100,
+      textCol: String = "text"): DataFrame =
+    df.select(explode(
+        DedupOps.shingles(DedupOps.words(col(textCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+
   /** Quality-scoring feature vector: the standard cheap heuristics a
     * corpus filter computes (length, word stats, punctuation/alpha
     * ratios, type-token ratio). */

@@ -119,6 +119,10 @@ class PipelineConfigSpec extends AnyFunSuite {
       "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
       "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",
       "sample_weighted" -> """{"type":"sample_weighted","keyField":"conv_id","weightField":"w"}""",
+      // probe matches nothing → exact pass-through; unique rowid →
+      // one doc out per row in
+      "decontaminate" -> """{"type":"decontaminate","idField":"rowid","textField":"text","probes":["zz yy xx ww vv uu tt ss"]}""",
+      "paragraph_dedup" -> """{"type":"paragraph_dedup","idField":"rowid","textField":"text"}""",
       // relabel needs the parsed (name, labels) frame, so its minimal
       // config is a two-stage chain (the harness splices into the array)
       "prom_relabel" -> ("""{"type":"prom_parse","sourceKey":"promline"},""" +
@@ -156,6 +160,8 @@ class PipelineConfigSpec extends AnyFunSuite {
           Seq((1663904182L, Seq("content" -> "x"))))))
       .withColumn("pyrobody", org.apache.spark.sql.functions.lit("a;b 1"))
       .withColumn("pyroname", org.apache.spark.sql.functions.lit("app"))
+      .withColumn("rowid",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
     val n = base.count()
     minimal.foreach { case (t, cfg) =>
       val out = PipelineConfig.parse(s"""{"processors":[$cfg]}""")(base)

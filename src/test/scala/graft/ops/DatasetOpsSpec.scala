@@ -462,6 +462,74 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(simPairs(portable = false) == simPairs(portable = true))
   }
 
+  test("decontaminate: n-gram overlap with a benchmark set flags docs, " +
+    "counts distinct shared grams, survivors are the anti set") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "quick brown fox jumps over the lazy dog and more words",
+      3L -> "completely unrelated content about spark catalyst planning",
+      4L -> "the quick brown fox jumps over the lazy dog tonight again")
+    val bench = Seq((100L, "Quick Brown  FOX jumps over the lazy dog"))
+      .toDF("bench_id", "text") // case/whitespace-normalized like docs
+    val deco = DedupOps.Decontaminate(n = 8)
+    val pairs = deco.pairs(d, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // bench has one 8-gram ("quick…dog"); docs 1,2,4 contain it once
+    assert(pairs.toSeq == Seq((1L, 100L, 1L), (2L, 100L, 1L), (4L, 100L, 1L)))
+    val surv = deco.survivors(d, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == Set(3L))
+    // minOverlap gate: requiring 2 shared grams clears everything here
+    assert(DedupOps.Decontaminate(n = 8, minOverlap = 2)
+      .pairs(d, bench).count() == 0)
+    // benchmark side is broadcast: the corpus is never shuffled for it
+    val plan = deco.pairs(d, bench).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+  }
+
+  test("paragraph dedup: first occurrence survives corpus-wide, docs " +
+    "rebuild in order, short paragraphs never dedup") {
+    val d = docs(
+      1L -> "intro one\n\nshared footer\n\nbody a",
+      2L -> "intro two\n\nshared footer\n\nbody b\n\nx",
+      3L -> "shared footer\n\nbody c\n\nx")
+    val out = DedupOps.ParagraphDedup(minChars = 2)(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc 1 holds the first "shared footer" (smallest (doc,pos));
+    // "x" (1 char < minChars 2) survives in BOTH docs 2 and 3
+    assert(out(0) == ((1L, "intro one\n\nshared footer\n\nbody a", 3L, 0L)))
+    assert(out(1) == ((2L, "intro two\n\nbody b\n\nx", 3L, 1L)))
+    assert(out(2) == ((3L, "body c\n\nx", 2L, 1L)))
+    // a fully-duplicate doc stays present with empty text
+    val dup = docs(1L -> "only para", 2L -> "only para")
+    val o2 = DedupOps.ParagraphDedup()(dup).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(o2.toSeq == Seq((1L, "only para"), (2L, "")))
+    // duplicate WITHIN one doc also collapses to the first position
+    val o3 = DedupOps.ParagraphDedup()(docs(7L -> "a b\n\nc d\n\na b"))
+      .collect().head
+    assert(o3.getString(1) == "a b\n\nc d" && o3.getLong(3) == 1L)
+  }
+
+  test("topNgrams: document frequency (distinct per doc), " +
+    "deterministic count-then-gram ordering, k cap") {
+    val d = docs(
+      1L -> "a b c a b c", // "a b c" twice in doc 1 → still df 1
+      2L -> "a b c x y z",
+      3L -> "x y z q r s")
+    val top = TextOps.topNgrams(d, n = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length == 3)
+    assert(top(0)._2 == 2 && top(1)._2 == 2) // "a b c", "x y z"
+    assert(top.take(2).map(_._1).sorted.toSeq == Seq("a b c", "x y z"))
+    // ties break by gram ascending
+    assert(top(0)._1 == "a b c" && top(1)._1 == "x y z")
+    // the plan is a TakeOrderedAndProject, not a global sort
+    val plan = TextOps.topNgrams(d, 3, 3).queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("dedup sketches run UDF-free (no ScalaUDF in the plan)") {
     val d = docs(1L -> "a b c d e f")
     val plans = Seq(
