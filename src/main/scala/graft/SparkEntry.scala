@@ -797,6 +797,12 @@ object SparkEntry {
       SimilarityOps.IvfIndex(nlist = 16, nprobe = 4)
         .topK(e, e.filter(col("vec_id") === 0), k = 10)
     },
+    "semdedup" -> { (s, dir) =>
+      // cluster-then-threshold semantic dedup: survivors with their cell
+      SimilarityOps.SemDeDup(nlist = 16, threshold = 0.35)
+        .survivors(tbl(s, dir, "embeddings"))
+        .select(col("vec_id"), col("cell"))
+    },
 
     // -- text analysis (prompt: tokens / quality / lang-id / fingerprint) ----
     "token_bpe" -> { (s, dir) =>
@@ -1856,6 +1862,43 @@ object SparkEntry {
            )
            SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",
+
+      // same centroid/assignment math as ann_ivf (first-16 centroids,
+      // cos-desc cell-desc tie break); within-cell pairs; a vector drops
+      // when a smaller-id vector in its cell has rounded cos >= 0.35
+      "semdedup" ->
+        """WITH cent AS (
+             SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 16
+           ), z AS (
+             SELECT e.vec_id, cent.c, unnest(e.embedding) AS x, unnest(cent.ce) AS y
+             FROM embeddings e, cent
+           ), s AS (
+             SELECT vec_id, c, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM z GROUP BY 1, 2
+           ), ranked AS (
+             SELECT vec_id, c, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dot/(nx*ny) DESC, c DESC) AS rn
+             FROM s
+           ), asn AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
+           zz AS (
+             SELECT a.vec_id AS va, b.vec_id AS vb,
+               unnest(a.embedding) AS x, unnest(b.embedding) AS y
+             FROM embeddings a JOIN asn aa ON aa.vec_id = a.vec_id
+                  JOIN asn bb ON aa.cell = bb.cell
+                  JOIN embeddings b ON b.vec_id = bb.vec_id
+             WHERE a.vec_id < b.vec_id
+           ), ss AS (
+             SELECT va, vb, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM zz GROUP BY 1, 2
+           ), drops AS (
+             SELECT DISTINCT vb FROM ss WHERE round(dot/(nx*ny), 4) >= 0.35
+           )
+           SELECT asn.vec_id AS vec_id, cast(asn.cell AS INT) AS cell
+           FROM asn WHERE asn.vec_id NOT IN (SELECT vb FROM drops)""",
 
       "token_bpe" ->
         """SELECT doc_id,

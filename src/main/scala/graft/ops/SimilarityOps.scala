@@ -367,4 +367,67 @@ object SimilarityOps {
         .select("vec_a", "vec_b", "cos")
     }
   }
+
+  /** SemDeDup-style semantic dedup (cluster-then-threshold, after
+    * Abbas et al. 2023): k-means-style cells over the embedding column,
+    * then cosine-threshold near-dup removal WITHIN each cell only —
+    * cross-cell pairs are never formed, which is the whole point: the
+    * pair join shuffles once on the cell id and its cost is bounded by
+    * the largest cell (N²/nlist expected), never the corpus n².
+    *
+    * Scale shape: cell assignment is [[IvfIndex.assign]] — a broadcast
+    * join against nlist centroid ROWS with a map-side partial max_by, so
+    * the corpus is scanned once and shuffled once (per-row best-cell
+    * agg); identical assign subtrees inside one plan collapse via
+    * exchange reuse. Norms and double-casts are hoisted out of the pair
+    * join (CLAUDE.md HOF lesson). At 100 TB, materialize
+    * `assigned()` once (partitionBy(cell), the IvfIndex.writeIndex
+    * layout) and feed the saved table to repeated dedup runs.
+    *
+    * Survivor rule: a vector drops when ANY smaller-id vector in its
+    * cell is within the threshold. The paper keeps one arbitrary member
+    * per ε-group; min-id is the deterministic, single-pass equivalent
+    * the other dedup ops use (no iterative component resolution —
+    * transitive chains collapse to the smallest id in one join because
+    * the min-id member of a chain never has a smaller neighbor). */
+  final case class SemDeDup(nlist: Int = 16, threshold: Double = 0.8) {
+    private val ivf = IvfIndex(nlist)
+
+    /** Corpus with its `cell` column appended (broadcast assignment). */
+    def assigned(df: DataFrame, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame =
+      ivf.assign(df, ivf.centroids(df, idCol, vecCol), idCol, vecCol)
+
+    private def pairsOf(asn: DataFrame, idCol: String,
+        vecCol: String): DataFrame = {
+      val vd = transform(col(vecCol), x => x.cast("double"))
+      val prepped = asn.select(col(idCol), col("cell"), vd.as("__v__"),
+        sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x)).as("__n__"))
+      val a = prepped.select(col(idCol).as("vec_a"), col("cell"),
+        col("__v__").as("va"), col("__n__").as("na"))
+      val b = prepped.select(col(idCol).as("vec_b"), col("cell"),
+        col("__v__").as("vb"), col("__n__").as("nb"))
+      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(dot / (col("na") * col("nb")), 4))
+        .where(col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cell", "cos")
+    }
+
+    /** Within-cell near-dup pairs (vec_a, vec_b, cell, cos ≥ threshold). */
+    def pairs(df: DataFrame, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame =
+      pairsOf(assigned(df, idCol, vecCol), idCol, vecCol)
+
+    /** The deduplicated corpus: every input column plus `cell`, minus
+      * vectors with a smaller-id near-duplicate in their cell. */
+    def survivors(df: DataFrame, idCol: String = "vec_id",
+        vecCol: String = "embedding"): DataFrame = {
+      val asn = assigned(df, idCol, vecCol)
+      asn.join(
+        pairsOf(asn, idCol, vecCol).select(col("vec_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    }
+  }
 }

@@ -530,6 +530,34 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("semdedup: within-cell min-id survivor rule, cross-cell twins " +
+    "both survive, dissimilar members stay") {
+    // nlist=2 -> centroids are vecs 0 (x-axis) and 1 (y-axis)
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),       // centroid A
+      1L -> Seq(0f, 1f, 0f, 0f),       // centroid B
+      2L -> Seq(0.99f, 0.1f, 0f, 0f),  // cell A, ~0 -> drops (0 < 2)
+      3L -> Seq(0.1f, 0.99f, 0f, 0f),  // cell B, ~1 -> drops
+      4L -> Seq(0.98f, -0.1f, 0f, 0f), // cell A, ~0 -> drops
+      5L -> Seq(0.5f, 0.45f, 0.72f, 0f), // cell A but dissimilar -> stays
+      7L -> Seq(0.72f, 0.69f, 0f, 0f), // cell A ┐ near-identical twins in
+      8L -> Seq(0.69f, 0.72f, 0f, 0f)  // cell B ┘ DIFFERENT cells: both stay
+    ).toDF("vec_id", "embedding")
+    val sd = SimilarityOps.SemDeDup(nlist = 2, threshold = 0.9)
+    val out = sd.survivors(vecs).select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 5L, 7L, 8L))
+    assert(out.toMap == Map(0L -> 0, 1L -> 1, 5L -> 0, 7L -> 0, 8L -> 1))
+    // pairs stay within a cell: the 7/8 twin pair is never formed
+    val p = sd.pairs(vecs).select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 3L)))
+    // centroid assignment is broadcast (corpus not shuffled to assign)
+    val plan = sd.assigned(vecs).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no broadcast assign:\n$plan")
+  }
+
   test("dedup sketches run UDF-free (no ScalaUDF in the plan)") {
     val d = docs(1L -> "a b c d e f")
     val plans = Seq(
