@@ -448,8 +448,10 @@ object DedupOps {
     /** Exploded paragraphs with their keep verdicts:
       * (id, __pos__, __para__, __keep__). */
     def paragraphs(df: DataFrame): DataFrame = {
+      // null text reads as empty: posexplode(null) emits NO rows and
+      // would silently drop the whole document from the rebuilt corpus
       val paras = df.select(col(idCol),
-          posexplode(split(col(textCol), delimRe))
+          posexplode(split(coalesce(col(textCol), lit("")), delimRe))
             .as(Seq("__pos__", "__para__")))
         .withColumn("__ph__", md5(col("__para__").cast("binary")))
       val firsts = paras

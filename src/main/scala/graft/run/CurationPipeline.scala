@@ -8,9 +8,11 @@ import graft.sink.{FanOutWriter, TableIO}
 /** End-to-end training-data curation: the LLM-data operators composed
   * the way a real pre-training ingest run uses them —
   *
-  *   quality/repetition gate → exact dedup → MinHash-LSH near-dup
+  *   [paragraph boilerplate removal] → quality/repetition gate →
+  *   [benchmark decontamination] → exact dedup → MinHash-LSH near-dup
   *   candidates → duplicate-cluster resolution → survivor write through
-  *   the resumable fan-out writer.
+  *   the resumable fan-out writer (bracketed stages optional via
+  *   [[Config.paragraphDedup]] / [[Config.decontaminate]] + `bench`).
   *
   * Scale shape, stage by stage: the gate is a pure per-row projection
   * (every signal is a higher-order-function fold over the word array —
@@ -25,14 +27,23 @@ import graft.sink.{FanOutWriter, TableIO}
 object CurationPipeline {
 
   /** Tuned so each gate bites on the synthetic corpus; at production
-    * scale these come from corpus calibration, not from this file. */
+    * scale these come from corpus calibration, not from this file.
+    *
+    * The two optional stages compose the full Dolma-shaped order when
+    * enabled: paragraph-level boilerplate removal FIRST (so the quality
+    * gate judges the cleaned text, not shared footers), benchmark
+    * decontamination after the gate (cheapest corpus left when the
+    * broadcast overlap join runs). Both ops must be configured with the
+    * same id/text columns the pipeline uses. */
   final case class Config(
       minWords: Int = 10,
       minDistinctRatio: Double = 0.3,
       maxTopBigramFrac: Double = 0.12,
       minhash: DedupOps.MinHashLSH = DedupOps.MinHashLSH(
         numHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5),
-      maxIter: Int = 20)
+      maxIter: Int = 20,
+      paragraphDedup: Option[DedupOps.ParagraphDedup] = None,
+      decontaminate: Option[DedupOps.Decontaminate] = None)
 
   /** Largest repeat-count of any word bigram, as a per-row fold:
     * sort the bigram array, then count the longest equal run. The same
@@ -74,9 +85,22 @@ object CurationPipeline {
     * near-duplicate component (docs in no component survive trivially).
     */
   def survivors(docs: DataFrame, cfg: Config = Config(),
-      idCol: String = "doc_id", textCol: String = "text")
-      : (DataFrame, Boolean) = {
-    val gated = qualityGate(docs, cfg, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      bench: Option[DataFrame] = None): (DataFrame, Boolean) = {
+    // optional stage 0: corpus-wide paragraph boilerplate removal; the
+    // rebuilt text joins back so every non-text column rides through
+    val cleaned = cfg.paragraphDedup.fold(docs) { pd =>
+      docs.drop(textCol).join(
+        pd(docs.select(col(idCol), col(textCol)))
+          .select(col(idCol), col("text").as(textCol)),
+        Seq(idCol))
+    }
+    val gated0 = qualityGate(cleaned, cfg, textCol)
+    // optional stage 1.5: eval-set decontamination (broadcast overlap)
+    val gated = (cfg.decontaminate, bench) match {
+      case (Some(dc), Some(b)) => dc.survivors(gated0, b)
+      case _ => gated0
+    }
     val keepIds = gated
       .groupBy(md5(col(textCol).cast("binary")).as("__md5__"))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
@@ -102,8 +126,9 @@ object CurationPipeline {
     */
   def run(docs: DataFrame, io: TableIO, runId: String,
       cfg: Config = Config(), numBuckets: Int = 16,
-      maxBuckets: Int = Int.MaxValue): RunResult = {
-    val (surv, converged) = survivors(docs, cfg)
+      maxBuckets: Int = Int.MaxValue,
+      bench: Option[DataFrame] = None): RunResult = {
+    val (surv, converged) = survivors(docs, cfg, bench = bench)
     // the survivor plan is consumed twice (write + lineage read-back
     // guard); persisting it would also work, but the plan is cheap to
     // re-derive relative to caching the full text at scale

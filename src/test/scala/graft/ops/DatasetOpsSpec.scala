@@ -510,6 +510,12 @@ class DatasetOpsSpec extends AnyFunSuite {
     val o3 = DedupOps.ParagraphDedup()(docs(7L -> "a b\n\nc d\n\na b"))
       .collect().head
     assert(o3.getString(1) == "a b\n\nc d" && o3.getLong(3) == 1L)
+    // a NULL text reads as empty — the doc stays present, not dropped
+    val withNull = Seq((1L, "real para"), (2L, null))
+      .toDF("doc_id", "text")
+    val o4 = DedupOps.ParagraphDedup()(withNull).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(o4.toSeq == Seq((1L, "real para"), (2L, "")))
   }
 
   test("topNgrams: document frequency (distinct per doc), " +

@@ -86,4 +86,46 @@ class CurationResumeSpec extends AnyFunSuite {
     assert(CurationPipeline.run(corpus, TableIO(dirB), "cur-crash",
       numBuckets = 8).bucketsWritten == 0)
   }
+
+  test("optional stages: paragraph boilerplate removal and benchmark " +
+    "decontamination compose into the survivor chain") {
+    val s = spark
+    import s.implicits._
+    // 10-word footer: long enough to pass the gate on its own
+    val footer = "subscribe to our newsletter for updates terms and privacy policy"
+    val extra = Seq(
+      (51L, "merchant analytics payload discussing revenue cohorts retention " +
+        "funnels churn seasonality forecasts dashboards alerts and " +
+        "attribution models for growing storefront operators\n\n" + footer),
+      (52L, "travel blog payload describing mountain villages rivers markets " +
+        "festivals trails lodges guides seasons packing advice and local " +
+        "cuisine for curious wanderers\n\n" + footer),
+      (53L, footer)) // footer-only doc: nothing left after stage 0
+    val docs = corpus.union(extra.toDF("doc_id", "text"))
+    // one eval probe = doc 5's first 8 words (planted leakage)
+    val bench = Seq((900L, "unique document number 5 talks about topic5 with"))
+      .toDF("bench_id", "text")
+    val cfg = CurationPipeline.Config(
+      paragraphDedup = Some(graft.ops.DedupOps.ParagraphDedup()),
+      decontaminate = Some(graft.ops.DedupOps.Decontaminate(n = 8)))
+    val (surv, converged) =
+      CurationPipeline.survivors(docs, cfg, bench = Some(bench))
+    assert(converged)
+    val ids = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseKeep = (1 to 20).map(_.toLong).toSet + 21L + 31L
+    // doc 5 decontaminated; 53 emptied by boilerplate removal then gated;
+    // 51 keeps the footer (first occurrence), 52 keeps only its body
+    assert(ids == baseKeep - 5L + 51L + 52L)
+    val t52 = surv.where(col("doc_id") === 52L)
+      .select("text").collect().head.getString(0)
+    assert(!t52.contains("newsletter") && t52.contains("travel blog payload"))
+    val t51 = surv.where(col("doc_id") === 51L)
+      .select("text").collect().head.getString(0)
+    assert(t51.contains("newsletter"))
+    // with the stages OFF the same corpus keeps 5 and 53 — the
+    // eliminations above are attributable to the optional stages
+    val plain = CurationPipeline.survivors(docs)._1
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == baseKeep + 51L + 52L + 53L)
+  }
 }
