@@ -605,6 +605,25 @@ object SparkEntry {
           mapStr(col("contents")).as("contents_str"), col("topic"),
           col("source"), mapStr(col("log_tags")).as("tags_str"))
     },
+    "sls_pb_roundtrip" -> { (s, dir) =>
+      // flusher-side LogGroup packing (FlusherSLS's 4000-log/10MB batch
+      // caps) then wire decode: the round trip reproduces the source
+      // rows exactly, independent of how rows packed into payloads
+      // (pack boundaries are partition-dependent, the row set is not)
+      val t = transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          unix_timestamp(col("ts")).as("t_sec"))
+      val packed = BinaryDecoders.SlsPbWriter(
+        timeKey = "t_sec",
+        contentKeys = Seq("conv_id", "turn_idx", "role", "text"),
+        topic = "transcripts", source = "graft", maxLogs = 100)(t)
+      BinaryDecoders.SlsPbParser("payload")(packed)
+        .select(col("log_time"), col("topic"), col("source"),
+          col("contents")("conv_id").as("conv_id"),
+          col("contents")("turn_idx").try_cast("int").as("turn_idx"),
+          col("contents")("role").as("role"),
+          col("contents")("text").as("text"))
+    },
     "pyroscope_groups_parse" -> { (s, dir) =>
       // pyroscope push ingest, groups (collapsed-stack) wire format:
       // 3 profile lines per request (multi-frame with a spaced frame,
@@ -1451,6 +1470,16 @@ object SparkEntry {
 
       // expected rows derived from the fixture's SOURCE columns — an
       // independent cross-check of the groups-format decode path
+      // the packed-then-decoded row set equals the source rows: the
+      // oracle is the identity projection over the same transcript view
+      "sls_pb_roundtrip" -> withCte(
+        """, r AS (
+             SELECT conv_id, cast(turn_idx AS INT) AS turn_idx, role, text,
+               cast(floor(epoch(ts)) AS BIGINT) AS log_time
+             FROM transcripts)
+           SELECT log_time, 'transcripts' AS topic, 'graft' AS source,
+             conv_id, turn_idx, role, text FROM r"""),
+
       "pyroscope_groups_parse" -> withCte(
         """, b AS (
              SELECT conv_id, turn_idx, role, tool,

@@ -118,6 +118,37 @@ object PipelineConfig {
         str(n, "destKey"), handleMissing = n.hasNonNull("missing"),
         missing = strOpt(n, "missing").getOrElse("")).apply _
     },
+    "cloud_meta" -> { n =>
+      // constant metadata stamping (cloudmeta/tag-native shape)
+      EnrichOps.StaticTags(strMap(n, "tags")).apply _
+    },
+    "range_lookup" -> { n =>
+      // geoip-shaped broadcast range join: inline `ranges` rows
+      // [{lo, hi, <string attrs>}] or a parquet `rangesPath` with the
+      // same (lo, hi, attrs...) columns; attrs append to matched rows
+      val keyCol = str(n, "sourceKey")
+      val rangesPath = strOpt(n, "rangesPath")
+      val inline = Option(n.get("ranges")).toSeq
+        .flatMap(_.elements.asScala).map { r =>
+        (r.get("lo").asLong, r.get("hi").asLong,
+          r.properties.asScala
+            .filterNot(e => e.getKey == "lo" || e.getKey == "hi")
+            .map(e => e.getKey -> e.getValue.asText).toSeq.sortBy(_._1))
+      }
+      df => {
+        val s = df.sparkSession
+        import s.implicits._
+        val ranges = rangesPath.map(s.read.parquet(_)).getOrElse {
+          val attrCols = inline.headOption.map(_._3.map(_._1)).getOrElse(Nil)
+          inline.map { case (lo, hi, attrs) => (lo, hi, attrs.map(_._2)) }
+            .toDF("lo", "hi", "__attrs__")
+            .select(col("lo") +: col("hi") +: attrCols.zipWithIndex.map {
+              case (a, i) => col("__attrs__")(i).as(a)
+            }: _*)
+        }
+        EnrichOps.RangeLookup(ranges, keyCol)(df)
+      }
+    },
     "desensitize" -> { n =>
       FieldOps.Desensitize(str(n, "sourceKey"), str(n, "before"),
         str(n, "pattern")).apply _
@@ -294,6 +325,17 @@ object PipelineConfig {
     "sls_pb_parse" -> { n =>
       BinaryDecoders.SlsPbParser(
         strOpt(n, "sourceKey").getOrElse("payload")).apply _
+    },
+    "sls_pb_pack" -> { n =>
+      // flusher-side LogGroup packing (FlusherSLS batch caps)
+      BinaryDecoders.SlsPbWriter(
+        timeKey = str(n, "timeKey"),
+        contentKeys = strs(n, "contentKeys"),
+        topic = strOpt(n, "topic").getOrElse(""),
+        source = strOpt(n, "source").getOrElse(""),
+        tags = strMap(n, "tags").toSeq.sortBy(_._1),
+        maxLogs = int(n, "maxLogs", 4000),
+        maxBytes = int(n, "maxBytes", 10 << 20)).apply _
     },
     "pyroscope_groups_parse" -> { n =>
       val tags = Option(n.get("tags")).map(_.fields.asScala

@@ -314,6 +314,75 @@ object BinaryDecoders {
       df.withColumn(destKey, col(sourceKey).cast("string"))
   }
 
+  // --- flusher-side LogGroup packing ----------------------------------------
+
+  /** The flusher_sls serialization shape: pack rows into SLS LogGroup
+    * payloads honoring the reference's batch caps — at most `maxLogs`
+    * logs and ~`maxBytes` of content per group
+    * (`core/plugin/flusher/sls/FlusherSLS.cpp:46-59` — 4000 logs /
+    * 10 MB / 3 s; the time trigger is a streaming-transport concern
+    * with no batch analog, and LZ4 transport compression is orthogonal
+    * to the wire layout, so both are out of scope here).
+    *
+    * Runs on the same mapPartitions seam as the decoders: each input
+    * partition independently packs its rows in order, so the operator
+    * is embarrassingly parallel — no shuffle, no driver state — and
+    * `SlsPbParser(this(df))` round-trips the exact row set (the
+    * pack boundary is partition-dependent, the decoded rows are not).
+    * Output: one row per payload (`payload` binary, `n_logs`). */
+  final case class SlsPbWriter(
+      timeKey: String,
+      contentKeys: Seq[String],
+      topic: String = "",
+      source: String = "",
+      tags: Seq[(String, String)] = Nil,
+      maxLogs: Int = 4000,
+      maxBytes: Int = 10 << 20) {
+    require(maxLogs > 0 && maxBytes > 0, "caps must be positive")
+
+    def apply(df: DataFrame): DataFrame = {
+      val outSchema = StructType(Array(
+        StructField("payload", BinaryType),
+        StructField("n_logs", IntegerType)))
+      val inSchema = df.schema
+      val tIdx = inSchema.fieldIndex(timeKey)
+      val cIdx = contentKeys.map(k => k -> inSchema.fieldIndex(k))
+      val (tpc, src, tgs, ml, mb) = (topic, source, tags, maxLogs, maxBytes)
+      df.mapPartitions { rows =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[(String, String)])]
+        var bytes = 0L
+        def flush(): Option[Row] =
+          if (buf.isEmpty) None
+          else {
+            val p = Encode.logGroup(tpc, src, tgs, buf.toSeq)
+            val n = buf.size
+            buf.clear(); bytes = 0L
+            Some(Row(p, n))
+          }
+        rows.flatMap { r =>
+          val contents = cIdx.map { case (k, i) =>
+            k -> String.valueOf(r.get(i)) }
+          val sz = contents.iterator
+            .map { case (k, v) => k.length + v.length + 8 }.sum + 16
+          // flush BEFORE exceeding a cap (a single oversized row still
+          // ships alone — the reference sends it as its own group)
+          val pre =
+            if (buf.nonEmpty &&
+              (buf.size >= ml || bytes + sz > mb)) flush()
+            else None
+          buf += ((r.get(tIdx) match { // any integral time column works
+            case n: Number => n.longValue
+            case null => 0L // total: a null time must not kill the batch
+            case other => String.valueOf(other).toLong
+          }, contents))
+          bytes += sz
+          pre
+        } ++ flush().iterator
+      }(Encoders.row(outSchema))
+    }
+  }
+
   // --- test-vector encoders -------------------------------------------------
 
   /** Hand-rolled wire-format writers used by specs and the

@@ -123,6 +123,11 @@ class PipelineConfigSpec extends AnyFunSuite {
       // one doc out per row in
       "decontaminate" -> """{"type":"decontaminate","idField":"rowid","textField":"text","probes":["zz yy xx ww vv uu tt ss"]}""",
       "paragraph_dedup" -> """{"type":"paragraph_dedup","idField":"rowid","textField":"text"}""",
+      "cloud_meta" -> """{"type":"cloud_meta","tags":{"__cloud_region__":"cn-test","__host__":"h0"}}""",
+      // one all-covering range → left join keeps exactly one match per row
+      "range_lookup" -> """{"type":"range_lookup","sourceKey":"turn_idx","ranges":[{"lo":0,"hi":1000000,"tier":"all"}]}""",
+      // maxLogs 1 → one payload per row in (row-preserving here)
+      "sls_pb_pack" -> """{"type":"sls_pb_pack","timeKey":"turn_idx","contentKeys":["role","text"],"topic":"t","maxLogs":1}""",
       // relabel needs the parsed (name, labels) frame, so its minimal
       // config is a two-stage chain (the harness splices into the array)
       "prom_relabel" -> ("""{"type":"prom_parse","sourceKey":"promline"},""" +

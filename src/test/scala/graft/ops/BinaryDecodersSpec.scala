@@ -105,6 +105,42 @@ class BinaryDecodersSpec extends AnyFunSuite {
     assert(out(0)("content") == "cpu.load.short,host=server01 value=0.64")
   }
 
+  test("sls pb writer: packs rows into capped LogGroups and round-trips " +
+    "through the decoder") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 23).map(i =>
+      (1663904182L + i, s"c$i", if (i % 2 == 0) "info" else "warn"))
+      .toDF("t", "content", "level").repartition(1)
+    val w = BinaryDecoders.SlsPbWriter(timeKey = "t",
+      contentKeys = Seq("content", "level"), topic = "tp", source = "sr",
+      tags = Seq("host" -> "h1"), maxLogs = 10)
+    val packed = w(rows).collect()
+    // 23 rows at ≤10 logs/group in one partition → 10+10+3
+    assert(packed.map(_.getInt(1)).sorted.toSeq == Seq(3, 10, 10))
+    val back = collectMaps(
+      BinaryDecoders.SlsPbParser("payload")(w(rows).select("payload")))
+    assert(back.size == 23)
+    assert(back.map(m => (m("log_time"), m("contents"), m("topic"),
+      m("source"), m("log_tags"))).toSet ==
+      (0 until 23).map(i => (1663904182L + i,
+        Map("content" -> s"c$i",
+          "level" -> (if (i % 2 == 0) "info" else "warn")),
+        "tp", "sr", Map("host" -> "h1"))).toSet)
+    // byte cap: two fat rows cannot share a group; a single oversized
+    // row still ships alone
+    val fat = Seq((1L, "x" * 3000), (2L, "y" * 3000))
+      .toDF("t", "content").repartition(1)
+    val byBytes = BinaryDecoders.SlsPbWriter(timeKey = "t",
+      contentKeys = Seq("content"), maxBytes = 4000)(fat).collect()
+    assert(byBytes.length == 2 && byBytes.forall(_.getInt(1) == 1))
+    // round-trip row set is partition-independent
+    val p4 = BinaryDecoders.SlsPbParser("payload")(
+      w(rows.repartition(4)).select("payload"))
+    assert(collectMaps(p4).map(_("contents")).toSet ==
+      back.map(_("contents")).toSet)
+  }
+
   test("decoders compose declaratively: filters push around the seam") {
     val body = org.xerial.snappy.Snappy.compress(
       BinaryDecoders.Encode.writeRequest(Seq(
