@@ -109,6 +109,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(("sink_user", ts(600).getTime, 1L)))
   }
 
+  test("streaming dedup: first occurrence wins across micro-batches; " +
+    "state holds between batches") {
+    val mem = MemoryStream[Turn](spark)
+    val q = StreamingDedup.exact(mem.toDF())
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    // batch 1: A twice (within-batch dup) + B
+    mem.addData(
+      Turn("c1", 0, "user", "doc A", "none", ts(0)),
+      Turn("c1", 1, "user", "doc A", "none", ts(1)),
+      Turn("c2", 0, "user", "doc B", "none", ts(2)))
+    q.processAllAvailable()
+    // batch 2: A again (cross-batch dup) + new C
+    mem.addData(
+      Turn("c3", 0, "user", "doc A", "none", ts(60)),
+      Turn("c4", 0, "user", "doc C", "none", ts(61)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedup").select("conv_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("c1", "doc A"), ("c2", "doc B"), ("c4", "doc C")))
+  }
+
+  test("streaming dedup within watermark: in-horizon dup drops, " +
+    "long-expired key re-admits") {
+    val mem = MemoryStream[Turn](spark)
+    val q = StreamingDedup.windowed(mem.toDF(), tsCol = "ts",
+      delay = "10 seconds")
+      .writeStream.format("memory").queryName("sdedupw")
+      .outputMode("append").start()
+    mem.addData(
+      Turn("c1", 0, "user", "doc A", "none", ts(0)),
+      Turn("c2", 0, "user", "doc A", "none", ts(3))) // in-horizon dup
+    q.processAllAvailable()
+    // advance the watermark far past the horizon, then replay the key
+    mem.addData(Turn("c9", 0, "user", "doc Z", "none", ts(600)))
+    q.processAllAvailable()
+    mem.addData(Turn("c3", 0, "user", "doc A", "none", ts(620)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sdedupw").select("conv_id").collect()
+      .map(_.getString(0)).toSet
+    // c1 admitted, c2 dropped (same key inside the horizon), c3
+    // re-admitted after state eviction
+    assert(kept == Set("c1", "c9", "c3"))
+  }
+
   test("token bucket: limit N per period per key, refill over event time, deterministic") {
     // 1 token/sec, capacity 2; events at t=0,0.2,0.4,1.5,10 for key A
     val rows = Seq(
