@@ -816,6 +816,14 @@ object SparkEntry {
       SimilarityOps.IvfIndex(nlist = 16, nprobe = 4)
         .topK(e, e.filter(col("vec_id") === 0), k = 10)
     },
+    "ann_recall" -> { (s, dir) =>
+      // index-quality harness: per-query recall@10 of the IVF and
+      // sign-LSH approximate paths vs the exact cosine top-10, over the
+      // first 20 query vectors (rounded-cos ranking, id tiebreak)
+      SimilarityOps.annRecall(tbl(s, dir, "embeddings"), nQueries = 20,
+        k = 10, SimilarityOps.IvfIndex(nlist = 16, nprobe = 4),
+        SimilarityOps.SignLsh(planes = 8, dims = 64))
+    },
     "semdedup" -> { (s, dir) =>
       // cluster-then-threshold semantic dedup: survivors with their cell
       SimilarityOps.SemDeDup(nlist = 16, threshold = 0.35)
@@ -1891,6 +1899,92 @@ object SparkEntry {
            )
            SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",
+
+      // exact / IVF(16,4) / sign-LSH(8 planes) top-10 per query vector
+      // (vec_id < 20, self excluded), all ranked by round(cos,4) with
+      // vec_id tiebreak; recall = |approx ∩ exact| / 10
+      "ann_recall" ->
+        """WITH cent AS (
+             SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 16
+           ), zc AS (
+             SELECT e.vec_id, cent.c, unnest(e.embedding) AS x, unnest(cent.ce) AS y
+             FROM embeddings e, cent
+           ), sc AS (
+             SELECT vec_id, c, sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) AS dot,
+               sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) AS nx,
+               sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
+             FROM zc GROUP BY 1, 2
+           ), rankedc AS (
+             SELECT vec_id, c, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dot/(nx*ny) DESC, c DESC) AS rn
+             FROM sc
+           ), asn AS (SELECT vec_id, c AS cell FROM rankedc WHERE rn = 1),
+           qcells AS (
+             SELECT vec_id AS qid, c AS cell FROM rankedc
+             WHERE vec_id < 20 AND rn <= 4
+           ), zq AS (
+             SELECT q.vec_id AS qid, e.vec_id,
+               unnest(q.embedding) AS qx, unnest(e.embedding) AS ex
+             FROM embeddings q, embeddings e
+             WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+           ), sq AS (
+             SELECT qid, vec_id, sum(cast(qx AS DOUBLE)*cast(ex AS DOUBLE)) AS dot,
+               sqrt(sum(cast(qx AS DOUBLE)*cast(qx AS DOUBLE))) AS nq,
+               sqrt(sum(cast(ex AS DOUBLE)*cast(ex AS DOUBLE))) AS ne
+             FROM zq GROUP BY 1, 2
+           ), cosq AS (
+             SELECT qid, vec_id, round(dot/(nq*ne), 4) AS cos FROM sq
+           ), exact_top AS (
+             SELECT qid, vec_id FROM (
+               SELECT qid, vec_id, row_number() OVER (
+                 PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM cosq)
+             WHERE rn <= 10
+           ), ivf_top AS (
+             SELECT qid, vec_id FROM (
+               SELECT cq.qid, cq.vec_id, row_number() OVER (
+                 PARTITION BY cq.qid ORDER BY cq.cos DESC, cq.vec_id) AS rn
+               FROM cosq cq JOIN asn a ON a.vec_id = cq.vec_id
+                    JOIN qcells qc ON qc.qid = cq.qid AND qc.cell = a.cell)
+             WHERE rn <= 10
+           ), planes AS (
+             SELECT p.p, d.d,
+               CASE WHEN cast(('0x' || substr(md5(p.p || ':' || d.d), 1, 1)) AS BIGINT) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS w
+             FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS d) d
+           ), proj AS (
+             SELECT e.vec_id, pl.p, sum(cast(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS s
+             FROM embeddings e, planes pl GROUP BY 1, 2
+           ), sig AS (
+             SELECT vec_id, cast(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS b
+             FROM proj GROUP BY 1
+           ), qsig AS (SELECT vec_id AS qid, b FROM sig WHERE vec_id < 20),
+           probes AS (
+             SELECT qid, b AS pb FROM qsig
+             UNION ALL
+             SELECT qid, xor(b, (1 << p.p))
+             FROM qsig, (SELECT unnest(range(0, 8)) AS p) p
+           ), lsh_top AS (
+             SELECT qid, vec_id FROM (
+               SELECT cq.qid, cq.vec_id, row_number() OVER (
+                 PARTITION BY cq.qid ORDER BY cq.cos DESC, cq.vec_id) AS rn
+               FROM cosq cq JOIN sig se ON se.vec_id = cq.vec_id
+                    JOIN probes pr ON pr.qid = cq.qid AND pr.pb = se.b)
+             WHERE rn <= 10
+           ), hits_i AS (
+             SELECT x.qid, count(i.vec_id) AS h FROM exact_top x
+             LEFT JOIN ivf_top i ON i.qid = x.qid AND i.vec_id = x.vec_id
+             GROUP BY 1
+           ), hits_l AS (
+             SELECT x.qid, count(l.vec_id) AS h FROM exact_top x
+             LEFT JOIN lsh_top l ON l.qid = x.qid AND l.vec_id = x.vec_id
+             GROUP BY 1
+           )
+           SELECT q.vec_id,
+             round(coalesce(hi.h, 0)/10.0, 4) AS recall_ivf,
+             round(coalesce(hl.h, 0)/10.0, 4) AS recall_lsh
+           FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+           LEFT JOIN hits_i hi ON hi.qid = q.vec_id
+           LEFT JOIN hits_l hl ON hl.qid = q.vec_id""",
 
       // same centroid/assignment math as ann_ivf (first-16 centroids,
       // cos-desc cell-desc tie break); within-cell pairs; a vector drops

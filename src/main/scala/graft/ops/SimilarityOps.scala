@@ -187,7 +187,7 @@ object SimilarityOps {
 
     /** The centroid DATA table (cell, __cvec__, __cnorm__) to broadcast:
       * nlist rows of data, O(1) plan nodes regardless of nlist. */
-    private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+    private[ops] def centroidDf(spark: org.apache.spark.sql.SparkSession,
         cents: Array[Array[Double]]): DataFrame = {
       import spark.implicits._
       cents.zipWithIndex
@@ -366,6 +366,84 @@ object SimilarityOps {
         .where(col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     }
+  }
+
+  /** Multi-query ANN index-quality evaluation: per-query recall@k of
+    * the IVF and sign-LSH approximate paths against the exact cosine
+    * top-k — the standard harness that tells a user whether the
+    * approximate tiers are trustworthy before they replace the exact
+    * scan at scale.
+    *
+    * All three rankings share one rounded-cosine definition (4 dp,
+    * id-tiebreak) so the comparison is engine-portable: an unrounded
+    * rank-10/11 boundary would flip on last-ulp summation-order
+    * differences between engines. Rankings are windows PARTITIONED BY
+    * query id (never unpartitioned); the exact side is a broadcast
+    * nested-loop of the small query set against the corpus — one
+    * corpus pass per ranking, which is the point of the harness: it is
+    * the verification tier, run on samples, not the serving path. */
+  def annRecall(corpus: DataFrame, nQueries: Int = 20, k: Int = 10,
+      ivf: IvfIndex = IvfIndex(), lsh: SignLsh = SignLsh(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val prepped = corpus.select(col(idCol), vd.as("__v__"),
+      sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x)).as("__n__"))
+    val queries = prepped.where(col(idCol) < nQueries)
+      .select(col(idCol).as("__qid__"), col("__v__").as("__qv__"),
+        col("__n__").as("__qn__"))
+    val dot = aggregate(zip_with(col("__v__"), col("__qv__"), (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    val byQ = Window.partitionBy(col("__qid__"))
+      .orderBy(col("__cos__").desc, col(idCol))
+    def topk(cand: DataFrame): DataFrame =
+      cand.withColumn("__cos__", round(dot / (col("__n__") * col("__qn__")), 4))
+        .withColumn("__rn__", row_number().over(byQ))
+        .where(col("__rn__") <= k)
+        .select(col("__qid__"), col(idCol))
+
+    val exact = topk(prepped.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col("__qid__")))
+
+    // IVF: corpus assigned once; each query probes its nprobe best cells
+    val cents = ivf.centroids(corpus, idCol, vecCol)
+    val asn = ivf.assign(prepped, cents, idCol, "__v__", "cell")
+    val qCells = queries
+      .crossJoin(broadcast(ivf.centroidDf(corpus.sparkSession, cents)))
+      .withColumn("__ccos__",
+        aggregate(zip_with(col("__qv__"), col("__cvec__"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x) / (col("__qn__") * col("__cnorm__")))
+      .withColumn("__crn__", row_number().over(
+        Window.partitionBy(col("__qid__"))
+          .orderBy(col("__ccos__").desc, col("__cell__").desc)))
+      .where(col("__crn__") <= ivf.nprobe)
+      .select(col("__qid__"), col("__qv__"), col("__qn__"),
+        col("__cell__").as("cell"))
+    val ivfTop = topk(asn.join(qCells, Seq("cell"))
+      .where(col(idCol) =!= col("__qid__")))
+
+    // sign-LSH: multi-probe candidates (query bucket + every Hamming-1
+    // neighbor — the topKIndexed serving shape; a corpus vector has ONE
+    // bucket so at most one probe matches, no duplicate candidates)
+    val withB = prepped.withColumn("__b__", lsh.bucket(col("__v__")))
+    val qSig = queries.withColumn("__b0__", lsh.bucket(col("__qv__")))
+    val qProbes = qSig.select(col("__qid__"), col("__qv__"), col("__qn__"),
+      explode(array(col("__b0__") +: (0 until lsh.planes).map(p =>
+        col("__b0__").bitwiseXOR(lit(1L << p))): _*)).as("__b__"))
+    val lshTop = topk(withB.join(qProbes, Seq("__b__"))
+      .where(col(idCol) =!= col("__qid__")))
+
+    def hits(approx: DataFrame, as: String): DataFrame =
+      exact.join(approx, Seq("__qid__", idCol), "left_semi")
+        .groupBy("__qid__").agg(count(lit(1)).as(as))
+    queries.select(col("__qid__"))
+      .join(hits(ivfTop, "__hi__"), Seq("__qid__"), "left")
+      .join(hits(lshTop, "__hl__"), Seq("__qid__"), "left")
+      .select(col("__qid__").as(idCol),
+        round(coalesce(col("__hi__"), lit(0L)) / k.toDouble, 4)
+          .as("recall_ivf"),
+        round(coalesce(col("__hl__"), lit(0L)) / k.toDouble, 4)
+          .as("recall_lsh"))
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-threshold, after

@@ -536,6 +536,29 @@ class DatasetOpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("annRecall: one row per query; exhaustive probe configs reach " +
+    "recall 1.0; stingy probing loses recall") {
+    val vecs = (0L until 30L).map(i => (i, Seq(
+      math.sin(i * 0.7).toFloat, math.cos(i * 1.3).toFloat,
+      math.sin(i * 2.1 + 1).toFloat, math.cos(i * 0.4 + 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    // nlist=1 -> IVF probes the single cell = whole corpus;
+    // planes=1 -> 2 LSH buckets, Hamming-1 probing covers both
+    val full = SimilarityOps.annRecall(vecs, nQueries = 3, k = 2,
+      SimilarityOps.IvfIndex(nlist = 1, nprobe = 1),
+      SimilarityOps.SignLsh(planes = 1, dims = 4)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(full.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(full.forall { case (_, ri, rl) => ri == 1.0 && rl == 1.0 })
+    // 8 cells / 1 probe: recall can only drop, never exceed 1.0, and
+    // the harness still reports every query
+    val tight = SimilarityOps.annRecall(vecs, nQueries = 3, k = 2,
+      SimilarityOps.IvfIndex(nlist = 8, nprobe = 1),
+      SimilarityOps.SignLsh(planes = 1, dims = 4)).collect()
+    assert(tight.length == 3 &&
+      tight.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("semdedup: within-cell min-id survivor rule, cross-cell twins " +
     "both survive, dissimilar members stay") {
     // nlist=2 -> centroids are vecs 0 (x-axis) and 1 (y-axis)
