@@ -1476,8 +1476,6 @@ object SparkEntry {
            SELECT i, 1663904183 + i, 'content=next-' || i,
              't-' || (i % 2), '10.0.0.' || i, 'host=h' || i FROM t""",
 
-      // expected rows derived from the fixture's SOURCE columns — an
-      // independent cross-check of the groups-format decode path
       // the packed-then-decoded row set equals the source rows: the
       // oracle is the identity projection over the same transcript view
       "sls_pb_roundtrip" -> withCte(
@@ -1488,6 +1486,8 @@ object SparkEntry {
            SELECT log_time, 'transcripts' AS topic, 'graft' AS source,
              conv_id, turn_idx, role, text FROM r"""),
 
+      // expected rows derived from the fixture's SOURCE columns — an
+      // independent cross-check of the groups-format decode path
       "pyroscope_groups_parse" -> withCte(
         """, b AS (
              SELECT conv_id, turn_idx, role, tool,

@@ -130,17 +130,25 @@ object PipelineConfig {
       val rangesPath = strOpt(n, "rangesPath")
       val inline = Option(n.get("ranges")).toSeq
         .flatMap(_.elements.asScala).map { r =>
+        require(r.hasNonNull("lo") && r.hasNonNull("hi"),
+          "range_lookup: every range entry needs 'lo' and 'hi'")
         (r.get("lo").asLong, r.get("hi").asLong,
           r.properties.asScala
             .filterNot(e => e.getKey == "lo" || e.getKey == "hi")
-            .map(e => e.getKey -> e.getValue.asText).toSeq.sortBy(_._1))
+            .map(e => e.getKey -> e.getValue.asText).toMap)
       }
+      // attr columns = UNION of keys over all rows, values bound by
+      // key lookup (a row missing a key yields null) — positional
+      // binding against the first row's keys would misassign values
+      // for heterogeneous entries
+      val attrCols = inline.flatMap(_._3.keys).distinct.sorted
       df => {
         val s = df.sparkSession
         import s.implicits._
         val ranges = rangesPath.map(s.read.parquet(_)).getOrElse {
-          val attrCols = inline.headOption.map(_._3.map(_._1)).getOrElse(Nil)
-          inline.map { case (lo, hi, attrs) => (lo, hi, attrs.map(_._2)) }
+          inline.map { case (lo, hi, attrs) =>
+            (lo, hi, attrCols.map(attrs.get(_).orNull))
+          }
             .toDF("lo", "hi", "__attrs__")
             .select(col("lo") +: col("hi") +: attrCols.zipWithIndex.map {
               case (a, i) => col("__attrs__")(i).as(a)

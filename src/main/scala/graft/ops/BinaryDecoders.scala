@@ -361,10 +361,21 @@ object BinaryDecoders {
             Some(Row(p, n))
           }
         rows.flatMap { r =>
+          // null values render as "" (proto3 strings have no null; the
+          // literal string "null" would fabricate data on the far side)
           val contents = cIdx.map { case (k, i) =>
-            k -> String.valueOf(r.get(i)) }
-          val sz = contents.iterator
-            .map { case (k, v) => k.length + v.length + 8 }.sum + 16
+            k -> (r.get(i) match {
+              case null => ""
+              case v => String.valueOf(v)
+            })
+          }
+          // cap accounting in ENCODED UTF-8 bytes, not UTF-16 chars —
+          // char counting undershoots ~3x on CJK text and would ship
+          // groups past the server-side size limit the cap exists for
+          val sz = contents.iterator.map { case (k, v) =>
+            k.getBytes(java.nio.charset.StandardCharsets.UTF_8).length +
+              v.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 8
+          }.sum + 16
           // flush BEFORE exceeding a cap (a single oversized row still
           // ships alone — the reference sends it as its own group)
           val pre =

@@ -446,13 +446,15 @@ object DedupOps {
     private val delimRe = java.util.regex.Pattern.quote(delim)
 
     /** Exploded paragraphs with their keep verdicts:
-      * (id, __pos__, __para__, __keep__). */
+      * (id, passthrough cols…, __pos__, __para__, __keep__). */
     def paragraphs(df: DataFrame): DataFrame = {
+      val passthrough = df.columns.toSeq
+        .filterNot(c => c == idCol || c == textCol)
       // null text reads as empty: posexplode(null) emits NO rows and
       // would silently drop the whole document from the rebuilt corpus
-      val paras = df.select(col(idCol),
+      val paras = df.select(col(idCol) +: passthrough.map(col) :+
           posexplode(split(coalesce(col(textCol), lit("")), delimRe))
-            .as(Seq("__pos__", "__para__")))
+            .as(Seq("__pos__", "__para__")): _*)
         .withColumn("__ph__", md5(col("__para__").cast("binary")))
       val firsts = paras
         .where(length(col("__para__")) >= minChars)
@@ -468,25 +470,29 @@ object DedupOps {
 
     /** Documents rebuilt from surviving paragraphs (every input doc
       * stays present; a fully-duplicate doc comes back with empty text)
-      * plus kept/dropped counts. Reassembly uses the stable
-      * ordered-concat idiom: windowed collect_list over the doc
-      * partition (bounded by paragraphs-per-doc), null-skipping for
-      * dropped paragraphs. */
+      * plus kept/dropped counts. Every non-text input column rides
+      * through unchanged and the rebuilt text keeps the configured
+      * `textCol` name, so the op composes as a config stage. Reassembly
+      * uses the stable ordered-concat idiom: windowed collect_list over
+      * the doc partition (bounded by paragraphs-per-doc), null-skipping
+      * for dropped paragraphs. */
     def apply(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
+      val passthrough = df.columns.toSeq
+        .filterNot(c => c == idCol || c == textCol)
       val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos__"))
       val full = byDoc.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
       paragraphs(df)
-        .select(col(idCol),
-          row_number().over(byDoc).as("__rn__"),
+        .select(col(idCol) +: passthrough.map(col) :+
+          row_number().over(byDoc).as("__rn__") :+
           array_join(collect_list(
             when(col("__keep__"), col("__para__"))).over(full), delim)
-            .as("text"),
+            .as(textCol) :+
           sum(when(col("__keep__"), 1L).otherwise(0L)).over(full)
-            .as("n_kept"),
+            .as("n_kept") :+
           sum(when(col("__keep__"), 0L).otherwise(1L)).over(full)
-            .as("n_dropped"))
+            .as("n_dropped"): _*)
         .where(col("__rn__") === 1)
         .drop("__rn__")
     }

@@ -108,6 +108,10 @@ object EnrichOps {
     def apply(df: DataFrame): DataFrame =
       df.join(broadcast(ranges),
         col(keyCol) >= col(loCol) && col(keyCol) < col(hiCol), "left")
+        // the bounds are join machinery, not enrichment output; keeping
+        // them would also break a second chained range lookup
+        // (AMBIGUOUS_REFERENCE on lo/hi)
+        .drop(loCol, hiCol)
   }
 
   /** Static metadata stamping (cloud meta / tag native):

@@ -36,6 +36,17 @@ object SimilarityOps {
     dot / (na * nb)
   }
 
+  /** (idCol, extra cols…, __v__, __n__): the double-cast vector plus its
+    * HOISTED norm — computed once per row, before any pair join, so the
+    * per-pair work is one fused dot product (CLAUDE.md HOF lesson).
+    * Shared by every pair/ranking path in this file. */
+  private def normed(df: DataFrame, idCol: String, vecCol: String,
+      extra: Seq[String] = Nil): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol) +: extra.map(col) :+ vd.as("__v__") :+
+      sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x)).as("__n__"): _*)
+  }
+
   /** (rank, id) for a scored candidate set: `orderBy.limit(k)` plans as
     * `TakeOrderedAndProject` (no full sort), then the ≤k survivors fold
     * into ONE bounded array that is sorted and position-exploded. No
@@ -340,11 +351,8 @@ object SimilarityOps {
       lsh: SignLsh = SignLsh()) {
     def pairs(df: DataFrame, idCol: String = "vec_id",
         vecCol: String = "embedding"): DataFrame = {
-      // hoist the double-cast and the norm OUT of the pair join: per-pair
-      // work drops to one fused dot product (3× fewer array passes)
-      val vd = transform(col(vecCol), x => x.cast("double"))
-      val prepped = df.select(col(idCol), vd.as("__v__"),
-        sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x)).as("__n__"))
+      // norm/cast hoisted out of the pair join: 3× fewer array passes
+      val prepped = normed(df, idCol, vecCol)
       val base = if (exact) {
         val a = prepped.select(col(idCol).as("vec_a"), col("__v__").as("va"),
           col("__n__").as("na"))
@@ -386,9 +394,7 @@ object SimilarityOps {
       ivf: IvfIndex = IvfIndex(), lsh: SignLsh = SignLsh(),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    val prepped = corpus.select(col(idCol), vd.as("__v__"),
-      sqrt(aggregate(vd, lit(0.0), (a, x) => a + x * x)).as("__n__"))
+    val prepped = normed(corpus, idCol, vecCol)
     val queries = prepped.where(col(idCol) < nQueries)
       .select(col(idCol).as("__qid__"), col("__v__").as("__qv__"),
         col("__n__").as("__qn__"))
@@ -478,9 +484,7 @@ object SimilarityOps {
 
     private def pairsOf(asn: DataFrame, idCol: String,
         vecCol: String): DataFrame = {
-      val vd = transform(col(vecCol), x => x.cast("double"))
-      val prepped = asn.select(col(idCol), col("cell"), vd.as("__v__"),
-        sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x)).as("__n__"))
+      val prepped = normed(asn, idCol, vecCol, extra = Seq("cell"))
       val a = prepped.select(col(idCol).as("vec_a"), col("cell"),
         col("__v__").as("va"), col("__n__").as("na"))
       val b = prepped.select(col(idCol).as("vec_b"), col("cell"),

@@ -87,14 +87,10 @@ object CurationPipeline {
   def survivors(docs: DataFrame, cfg: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
       bench: Option[DataFrame] = None): (DataFrame, Boolean) = {
-    // optional stage 0: corpus-wide paragraph boilerplate removal; the
-    // rebuilt text joins back so every non-text column rides through
-    val cleaned = cfg.paragraphDedup.fold(docs) { pd =>
-      docs.drop(textCol).join(
-        pd(docs.select(col(idCol), col(textCol)))
-          .select(col(idCol), col("text").as(textCol)),
-        Seq(idCol))
-    }
+    // optional stage 0: corpus-wide paragraph boilerplate removal
+    // (the op preserves every non-text column and the textCol name)
+    val cleaned = cfg.paragraphDedup.fold(docs)(pd =>
+      pd(docs).drop("n_kept", "n_dropped"))
     val gated0 = qualityGate(cleaned, cfg, textCol)
     // optional stage 1.5: eval-set decontamination (broadcast overlap)
     val gated = (cfg.decontaminate, bench) match {

@@ -174,6 +174,27 @@ class PipelineConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("range_lookup config: heterogeneous attrs bind by key, missing " +
+    "keys are null, two lookups chain without ambiguity") {
+    val base = Transcripts.generate(spark, 3)
+    val cfg =
+      """{"processors":[
+        |{"type":"range_lookup","sourceKey":"turn_idx","ranges":[
+        |  {"lo":0,"hi":2,"tier":"gold","city":"nyc"},
+        |  {"lo":2,"hi":1000000,"tier":"silver"}]},
+        |{"type":"range_lookup","sourceKey":"turn_idx","ranges":[
+        |  {"lo":0,"hi":1000000,"band":"all"}]}]}""".stripMargin
+    val out = PipelineConfig.parse(cfg)(base)
+      .select("turn_idx", "tier", "city", "band").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (ti, tier, city, band) =>
+      assert(band == "all")
+      if (ti < 2) assert(tier == "gold" && city == "nyc")
+      else assert(tier == "silver" && city == null, s"turn $ti")
+    }
+  }
+
   test("config-first e2e: YAML sink section reproduces the hardwired pipeline's aggregates") {
     import graft.ops.AggOps
     import graft.pipeline.TranscriptPipeline

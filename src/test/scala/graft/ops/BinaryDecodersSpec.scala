@@ -139,6 +139,19 @@ class BinaryDecodersSpec extends AnyFunSuite {
       w(rows.repartition(4)).select("payload"))
     assert(collectMaps(p4).map(_("contents")).toSet ==
       back.map(_("contents")).toSet)
+    // null content values render as "" (never the literal "null");
+    // the byte cap counts encoded UTF-8, so two 3-byte-per-char rows
+    // that LOOK small in chars still split
+    val nulls = Seq((1L, null: String), (2L, "實際的日誌內容" * 300))
+      .toDF("t", "content").repartition(1)
+    val nb = BinaryDecoders.SlsPbWriter(timeKey = "t",
+      contentKeys = Seq("content"), maxBytes = 4000)(nulls).collect()
+    assert(nb.length == 2) // 2100 chars ≈ 6300 UTF-8 bytes > cap
+    val nback = collectMaps(BinaryDecoders.SlsPbParser("payload")(
+      BinaryDecoders.SlsPbWriter(timeKey = "t",
+        contentKeys = Seq("content"))(nulls).select("payload")))
+    assert(nback.map(_("contents").asInstanceOf[Map[String, String]]
+      .apply("content")).toSet.contains(""))
   }
 
   test("decoders compose declaratively: filters push around the seam") {

@@ -516,6 +516,13 @@ class DatasetOpsSpec extends AnyFunSuite {
     val o4 = DedupOps.ParagraphDedup()(withNull).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(o4.toSeq == Seq((1L, "real para"), (2L, "")))
+    // non-text columns ride through and a custom textCol keeps its name
+    val rich = Seq((1L, "en", "p\n\nq"), (2L, "fr", "p\n\nr"))
+      .toDF("doc_id", "lang", "body")
+    val o5 = DedupOps.ParagraphDedup(textCol = "body")(rich)
+      .select("doc_id", "lang", "body").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(o5.toSeq == Seq((1L, "en", "p\n\nq"), (2L, "fr", "r")))
   }
 
   test("topNgrams: document frequency (distinct per doc), " +
