@@ -113,4 +113,33 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"LSH join must be an equi-join:\n$plan")
   }
+
+  test("paragraph dedup finds first occurrences with a partial aggregate, " +
+    "never a window over the paragraph-hash partition") {
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat(lit("body-"), col("id"),
+        lit("\n\nshared footer paragraph")).as("text"))
+    val plan = physical(DedupOps.ParagraphDedup()(docs))
+    // a Window partitioned by the hash would funnel every copy of a hot
+    // boilerplate paragraph (billions at 100 TB) into ONE task; the
+    // groupBy(hash).min combines map-side before the shuffle
+    assert(!plan.contains("windowspecdefinition(__ph__"),
+      s"hot-paragraph straggler shape:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"expected partial (map-side) first-occurrence aggregate:\n$plan")
+  }
+
+  test("decontamination broadcasts the benchmark side; the corpus is " +
+    "never shuffled before the overlap aggregate") {
+    val docs = spark.range(50).select(col("id").as("doc_id"),
+      concat_ws(" ", (1 to 12).map(i =>
+        concat(lit(s"w$i-"), pmod(col("id"), lit(7)))): _*).as("text"))
+    val bench = spark.range(2).select(col("id").as("bench_id"),
+      lit("w1-0 w2-0 w3-0 w4-0 w5-0 w6-0 w7-0 w8-0").as("text"))
+    val plan = physical(DedupOps.Decontaminate(n = 8).pairs(docs, bench))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    // the only hash exchange is the final (doc, bench) overlap count,
+    // never a corpus-shingle shuffle feeding the join itself
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled to join:\n$plan")
+  }
 }
