@@ -605,6 +605,22 @@ object SparkEntry {
           mapStr(col("contents")).as("contents_str"), col("topic"),
           col("source"), mapStr(col("log_tags")).as("tags_str"))
     },
+    "otlp_logs_roundtrip" -> { (s, dir) =>
+      // flusher-side OTLP serialization (ConvertToOtlpResourseLogs
+      // direction) then the wire decoder: one ResourceLogs payload per
+      // conversation; the round trip reproduces the source rows
+      val t = transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          unix_timestamp(col("ts")).as("t_sec"),
+          col("text").as("content"), col("role").as("level"), col("tool"))
+      val packed = OtlpOps.OtlpLogWriter(timeKey = "t_sec",
+        orderKey = "turn_idx", groupKeys = Seq("conv_id"),
+        attrKeys = Seq("tool", "turn_idx"),
+        tags = Map("source" -> "graft"))(t)
+      WireFormats.OtlpLogParser("payload")(packed.select("payload"))
+        .select(col("time_unix_nano"), col("severity_text"),
+          col("content"), col("attributes"), col("resources"))
+    },
     "sls_pb_roundtrip" -> { (s, dir) =>
       // flusher-side LogGroup packing (FlusherSLS's 4000-log/10MB batch
       // caps) then wire decode: the round trip reproduces the source
@@ -1475,6 +1491,20 @@ object SparkEntry {
            UNION ALL
            SELECT i, 1663904183 + i, 'content=next-' || i,
              't-' || (i % 2), '10.0.0.' || i, 'host=h' || i FROM t""",
+
+      // pack → decode = identity; the decoder renders attributes and
+      // resources as key-sorted JSON objects of quoted strings
+      "otlp_logs_roundtrip" -> withCte(
+        """, r AS (
+             SELECT conv_id, turn_idx, role, text, tool,
+               cast(floor(epoch(ts)) AS BIGINT) * 1000000000 AS tn
+             FROM transcripts)
+           SELECT tn AS time_unix_nano, role AS severity_text,
+             text AS content,
+             '{"tool":"' || tool || '","turn_idx":"' || turn_idx || '"}'
+               AS attributes,
+             '{"conv_id":"' || conv_id || '","source":"graft"}' AS resources
+           FROM r"""),
 
       // the packed-then-decoded row set equals the source rows: the
       // oracle is the identity projection over the same transcript view

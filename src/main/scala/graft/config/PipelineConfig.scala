@@ -334,6 +334,17 @@ object PipelineConfig {
       BinaryDecoders.SlsPbParser(
         strOpt(n, "sourceKey").getOrElse("payload")).apply _
     },
+    "otlp_log_pack" -> { n =>
+      // flusher-side OTLP/JSON logs serialization (one payload/group)
+      OtlpOps.OtlpLogWriter(
+        timeKey = str(n, "timeKey"),
+        orderKey = str(n, "orderKey"),
+        groupKeys = strs(n, "groupKeys"),
+        bodyKey = strOpt(n, "bodyKey").getOrElse("content"),
+        levelKey = strOpt(n, "levelKey").getOrElse("level"),
+        attrKeys = strs(n, "attrKeys"),
+        tags = strMap(n, "tags")).apply _
+    },
     "sls_pb_pack" -> { n =>
       // flusher-side LogGroup packing (FlusherSLS batch caps)
       BinaryDecoders.SlsPbWriter(

@@ -585,4 +585,72 @@ object OtlpOps {
         .drop("__otr__", "__rs__", "__ss__", "__sp__")
     }
   }
+
+  /** Flusher-side OTLP/JSON logs serialization — the
+    * `ConvertToOtlpResourseLogs` direction
+    * (`pkg/protocol/converter/otlp.go:43-101`): one ResourceLogs per
+    * group with resource attributes = the group-key columns plus static
+    * tags (the LogGroup source/topic/machine_uuid/LogTags analog), one
+    * ScopeLogs, one LogRecord per row — timestamp seconds→nanos, body
+    * from `bodyKey`, severityText from `levelKey`, each `attrKeys`
+    * column a string attribute (the reference auto-derives attributes
+    * as contents-minus-body/level; here the caller names them — same
+    * payload, explicit schema). The reference's ObservedTimestamp is
+    * wall-clock (`otlp.go:84`) and deliberately omitted: batch re-runs
+    * must be byte-identical.
+    *
+    * Pure Catalyst: group assembly is the stable ordered-concat idiom
+    * (windowed collect_list, bounded by rows-per-group), rendering is
+    * ONE to_json — no UDFs, no driver state. The round trip through
+    * [[WireFormats.OtlpLogParser]] is an identity on the row set.
+    * Output: (groupKeys…, payload, n_records). */
+  final case class OtlpLogWriter(
+      timeKey: String,
+      orderKey: String,
+      groupKeys: Seq[String],
+      bodyKey: String = "content",
+      levelKey: String = "level",
+      attrKeys: Seq[String] = Nil,
+      tags: Map[String, String] = Map.empty) {
+    require(groupKeys.nonEmpty, "need at least one group key")
+
+    private def strAttr(k: String, v: Column): Column =
+      struct(lit(k).as("key"),
+        struct(v.cast("string").as("stringValue")).as("value"))
+
+    def apply(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      // null attribute values are ABSENT attributes, not {"k":null};
+      // zero attrKeys needs a TYPED empty array (a bare array() is
+      // array<void> and the filter lambda cannot extract from it)
+      val attrs =
+        if (attrKeys.isEmpty) array().cast(
+          "array<struct<key:string,value:struct<stringValue:string>>>")
+        else filter(array(attrKeys.map(k => strAttr(k, col(k))): _*),
+          a => a.getField("value").getField("stringValue").isNotNull)
+      val record = struct(
+        (col(timeKey).cast("long") * 1000000000L).cast("string")
+          .as("timeUnixNano"),
+        col(levelKey).cast("string").as("severityText"),
+        struct(col(bodyKey).cast("string").as("stringValue")).as("body"),
+        attrs.as("attributes"))
+      val byG = Window.partitionBy(groupKeys.map(col): _*)
+        .orderBy(col(orderKey))
+      val full = byG.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val resAttrs = array(groupKeys.map(k => strAttr(k, col(k))) ++
+        tags.toSeq.sortBy(_._1).map { case (k, v) => strAttr(k, lit(v)) }: _*)
+      df.select(groupKeys.map(col) :+
+          row_number().over(byG).as("__rn__") :+
+          collect_list(record).over(full).as("__recs__") :+
+          resAttrs.as("__res__"): _*)
+        .where(col("__rn__") === 1)
+        .select(groupKeys.map(col) :+
+          to_json(struct(array(struct(
+            struct(col("__res__").as("attributes")).as("resource"),
+            array(struct(col("__recs__").as("logRecords")))
+              .as("scopeLogs"))).as("resourceLogs"))).as("payload") :+
+          size(col("__recs__")).as("n_records"): _*)
+    }
+  }
 }

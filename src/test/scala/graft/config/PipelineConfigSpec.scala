@@ -128,6 +128,8 @@ class PipelineConfigSpec extends AnyFunSuite {
       "range_lookup" -> """{"type":"range_lookup","sourceKey":"turn_idx","ranges":[{"lo":0,"hi":1000000,"tier":"all"}]}""",
       // maxLogs 1 → one payload per row in (row-preserving here)
       "sls_pb_pack" -> """{"type":"sls_pb_pack","timeKey":"turn_idx","contentKeys":["role","text"],"topic":"t","maxLogs":1}""",
+      // per-row group keys → one payload per row in (row-preserving)
+      "otlp_log_pack" -> """{"type":"otlp_log_pack","timeKey":"turn_idx","orderKey":"turn_idx","groupKeys":["conv_id","turn_idx"],"bodyKey":"text","levelKey":"role"}""",
       // relabel needs the parsed (name, labels) frame, so its minimal
       // config is a two-stage chain (the harness splices into the array)
       "prom_relabel" -> ("""{"type":"prom_parse","sourceKey":"promline"},""" +

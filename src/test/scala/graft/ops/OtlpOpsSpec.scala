@@ -242,4 +242,34 @@ class OtlpOpsSpec extends AnyFunSuite {
     assert(out(0)("kind") == "server" && out(0)("statusCode") == "ERROR" &&
       out(0)("host") == "" && out(0)("resource") == "{}")
   }
+
+  test("otlp log writer: one ResourceLogs per group, null attrs absent, " +
+    "escaped bodies round-trip through the decoder") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (10L, "c1", 0, "hello", "info", "curl"),
+      (11L, "c1", 1, "wor\"ld", "warn", null),
+      (12L, "c2", 0, "bye", "error", "wget"))
+      .toDF("t", "conv", "idx", "content", "level", "tool")
+    val packed = OtlpOps.OtlpLogWriter(timeKey = "t", orderKey = "idx",
+      groupKeys = Seq("conv"), attrKeys = Seq("tool"),
+      tags = Map("source" -> "graft"))(rows)
+    assert(packed.count() == 2) // one payload per conversation
+    assert(packed.where(col("conv") === "c1")
+      .select("n_records").collect().head.getInt(0) == 2)
+    val back = WireFormats.OtlpLogParser("payload")(packed.select("payload"))
+      .select("time_unix_nano", "severity_text", "content",
+        "attributes", "resources")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(back == Set(
+      (10000000000L, "info", "hello", """{"tool":"curl"}""",
+        """{"conv":"c1","source":"graft"}"""),
+      (11000000000L, "warn", "wor\"ld", "",
+        """{"conv":"c1","source":"graft"}"""),
+      (12000000000L, "error", "bye", """{"tool":"wget"}""",
+        """{"conv":"c2","source":"graft"}""")))
+  }
 }
