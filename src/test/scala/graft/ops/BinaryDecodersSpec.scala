@@ -154,6 +154,25 @@ class BinaryDecodersSpec extends AnyFunSuite {
       .apply("content")).toSet.contains(""))
   }
 
+  test("binary decoders are total under fuzzed bytes: random payloads " +
+    "drop rows, never kill the job") {
+    val rnd = new scala.util.Random(42) // deterministic fuzz corpus
+    val fuzz = (1 to 64).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      // bias half toward almost-valid: prepend a plausible field tag
+      if (i % 2 == 0) Array[Byte](0x0a, 0x7f) ++ b else b
+    }
+    val df = binDf(fuzz: _*)
+    // decode must complete; any row that survives parsed from noise is
+    // fine (a random buffer CAN be a valid tiny message) — the contract
+    // is totality, not rejection
+    assert(BinaryDecoders.SlsPbParser("payload")(df).count() >= 0)
+    assert(BinaryDecoders.RemoteWriteParser("payload")(df).count() >= 0)
+    assert(BinaryDecoders.RemoteWriteParser("payload",
+      snappy = false)(df).count() >= 0)
+  }
+
   test("decoders compose declaratively: filters push around the seam") {
     val body = org.xerial.snappy.Snappy.compress(
       BinaryDecoders.Encode.writeRequest(Seq(

@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(("c1", "doc A"), ("c2", "doc B"), ("c4", "doc C")))
   }
 
+  test("streaming curation composition: the batch quality gate chains " +
+    "with cross-batch dedup on a live stream") {
+    val mem = MemoryStream[Turn](spark)
+    val good = "a perfectly reasonable document with more than ten " +
+      "distinct words inside it"
+    // the gate is a pure codegen'd filter, so the BATCH operator
+    // composes onto a streaming frame unchanged
+    val q = StreamingDedup.exact(
+      graft.run.CurationPipeline.qualityGate(mem.toDF()))
+      .writeStream.format("memory").queryName("scur")
+      .outputMode("append").start()
+    mem.addData(
+      Turn("c1", 0, "user", good, "none", ts(0)),
+      Turn("c2", 0, "user", "too short", "none", ts(1))) // gated
+    q.processAllAvailable()
+    mem.addData(
+      Turn("c3", 0, "user", good, "none", ts(60)), // cross-batch dup
+      Turn("c4", 0, "user", good + " more", "none", ts(61)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("scur").select("conv_id").collect()
+      .map(_.getString(0)).toSet
+    assert(kept == Set("c1", "c4"))
+  }
+
   test("streaming dedup within watermark: in-horizon dup drops, " +
     "long-expired key re-admits") {
     val mem = MemoryStream[Turn](spark)
