@@ -634,12 +634,22 @@ object OtlpOps {
         col(levelKey).cast("string").as("severityText"),
         struct(col(bodyKey).cast("string").as("stringValue")).as("body"),
         attrs.as("attributes"))
+      // orderKey ties get a content-hash tiebreak: without it tie order
+      // depends on shuffle input order and a re-run at different
+      // parallelism could swap records, breaking byte-identical output
+      // (equal-hash ties are identical records, so any order serializes
+      // the same bytes)
+      val tiebreak = xxhash64(
+        (Seq(timeKey, levelKey, bodyKey) ++ attrKeys).distinct.map(col): _*)
       val byG = Window.partitionBy(groupKeys.map(col): _*)
-        .orderBy(col(orderKey))
+        .orderBy(col(orderKey), tiebreak)
       val full = byG.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-      val resAttrs = array(groupKeys.map(k => strAttr(k, col(k))) ++
-        tags.toSeq.sortBy(_._1).map { case (k, v) => strAttr(k, lit(v)) }: _*)
+      // group keys can be null too — same absent-attribute rule as attrKeys
+      val resAttrs = filter(
+        array(groupKeys.map(k => strAttr(k, col(k))) ++
+          tags.toSeq.sortBy(_._1).map { case (k, v) => strAttr(k, lit(v)) }: _*),
+        a => a.getField("value").getField("stringValue").isNotNull)
       df.select(groupKeys.map(col) :+
           row_number().over(byG).as("__rn__") :+
           collect_list(record).over(full).as("__recs__") :+

@@ -125,8 +125,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // groupBy(hash).min combines map-side before the shuffle
     assert(!plan.contains("windowspecdefinition(__ph__"),
       s"hot-paragraph straggler shape:\n$plan")
-    assert(plan.contains("partial_min") || plan.contains("partial"),
-      s"expected partial (map-side) first-occurrence aggregate:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"expected partial (map-side) first-occurrence min aggregate:\n$plan")
   }
 
   test("decontamination broadcasts the benchmark side; the corpus is " +
