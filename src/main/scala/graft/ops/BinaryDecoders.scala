@@ -385,7 +385,10 @@ object BinaryDecoders {
           buf += ((r.get(tIdx) match { // any integral time column works
             case n: Number => n.longValue
             case null => 0L // total: a null time must not kill the batch
-            case other => String.valueOf(other).toLong
+            // a hostile non-numeric string time must not kill the batch
+            // either — same total-function posture as the decoders
+            case other => scala.util.Try(
+              String.valueOf(other).toLong).getOrElse(0L)
           }, contents))
           bytes += sz
           pre

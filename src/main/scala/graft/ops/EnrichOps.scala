@@ -105,13 +105,18 @@ object EnrichOps {
       keyCol: String,
       loCol: String = "lo",
       hiCol: String = "hi") {
-    def apply(df: DataFrame): DataFrame =
-      df.join(broadcast(ranges),
-        col(keyCol) >= col(loCol) && col(keyCol) < col(hiCol), "left")
-        // the bounds are join machinery, not enrichment output; keeping
-        // them would also break a second chained range lookup
-        // (AMBIGUOUS_REFERENCE on lo/hi)
-        .drop(loCol, hiCol)
+    def apply(df: DataFrame): DataFrame = {
+      // the bounds are join machinery, not enrichment output — but
+      // df.drop(loCol) would drop EVERY column with that name, eating an
+      // input column that happens to be called lo/hi; rename the ranges
+      // side to reserved temp names and drop only those
+      val r = ranges.withColumnRenamed(loCol, "__range_lo__")
+        .withColumnRenamed(hiCol, "__range_hi__")
+      df.join(broadcast(r),
+        col(keyCol) >= col("__range_lo__") &&
+          col(keyCol) < col("__range_hi__"), "left")
+        .drop("__range_lo__", "__range_hi__")
+    }
   }
 
   /** Static metadata stamping (cloud meta / tag native):

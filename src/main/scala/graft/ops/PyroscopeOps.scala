@@ -194,7 +194,12 @@ object PyroscopeOps {
         col("__pyro_agg__"), col("__pyro_rate__"), col("__pyro_from__"),
         col("__pyro_dur_ns__"),
         to_json(labelMap).as("__pyro_labels__"),
-        coalesce(element_at(labelMap, "profile_id"),
+        // profile_id comes from the segment-key BRACE labels only —
+        // GetProfileID (meta.go:121-130) reads it before handler tags
+        // merge, so a static tag named profile_id must not win here
+        coalesce(
+          element_at(map_from_entries(
+            dedupLastWins(col("__pyro_brace__"))), "profile_id"),
           concat_ws("-", substring(md, 1, 8), substring(md, 9, 4),
             substring(md, 13, 4), substring(md, 17, 4),
             substring(md, 21, 12))).as("__pyro_pid__"))): _*)

@@ -152,6 +152,13 @@ class BinaryDecodersSpec extends AnyFunSuite {
         contentKeys = Seq("content"))(nulls).select("payload")))
     assert(nback.map(_("contents").asInstanceOf[Map[String, String]]
       .apply("content")).toSet.contains(""))
+    // a hostile NON-NUMERIC string time column coerces to 0, never a
+    // NumberFormatException killing the batch (writer stays total)
+    val badT = Seq(("not-a-time", "x")).toDF("t", "content").repartition(1)
+    val bt = collectMaps(BinaryDecoders.SlsPbParser("payload")(
+      BinaryDecoders.SlsPbWriter(timeKey = "t",
+        contentKeys = Seq("content"))(badT).select("payload")))
+    assert(bt.size == 1 && bt.head("log_time") == 0L)
   }
 
   test("binary decoders are total under fuzzed bytes: random payloads " +

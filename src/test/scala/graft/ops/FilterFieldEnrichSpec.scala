@@ -221,5 +221,11 @@ class FilterFieldEnrichSpec extends AnyFunSuite {
     assert(collectMaps(out).map(_("tier")) == Seq("low", "mid", null))
     assert(out.queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"))
+    // an input column that happens to be named lo/hi survives the
+    // lookup (only the ranges side's bound columns are dropped)
+    val factsLo = Seq((1L, "keep")).toDF("v", "lo")
+    val outLo = EnrichOps.RangeLookup(ranges, "v")(factsLo)
+    assert(outLo.columns.count(_ == "lo") == 1)
+    assert(collectMaps(outLo).head("lo") == "keep")
   }
 }

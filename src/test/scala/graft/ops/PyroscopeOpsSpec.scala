@@ -106,6 +106,16 @@ class PyroscopeOpsSpec extends AnyFunSuite {
     val d2 = collectMaps(PyroscopeOps.GroupsParser()(
       Seq(("a 1", "app{profile_id=p-7}")).toDF("body", "name")))
     assert(d2.head("profileID") == "p-7")
+    // …but only from the segment-key BRACE labels: GetProfileID
+    // (meta.go:121-130) runs before handler tags merge, so a static
+    // tag named profile_id lands in labels yet never sets profileID
+    val d2t = collectMaps(PyroscopeOps.GroupsParser(
+      tags = Map("profile_id" -> "tag-id"))(
+      Seq(("a 1", "app")).toDF("body", "name")))
+    assert(d2t.head("profileID").asInstanceOf[String]
+      .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(d2t.head("labels") ==
+      """{"__name__":"app","profile_id":"tag-id"}""")
     // zero sample rate with samples units: reference divides by zero;
     // here the line drops
     val d3 = PyroscopeOps.GroupsParser()(reqDf(
