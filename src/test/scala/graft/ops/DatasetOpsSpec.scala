@@ -550,10 +550,10 @@ class DatasetOpsSpec extends AnyFunSuite {
       math.sin(i * 2.1 + 1).toFloat, math.cos(i * 0.4 + 2).toFloat)))
       .toDF("vec_id", "embedding")
     // nlist=1 -> IVF probes the single cell = whole corpus;
-    // planes=1 -> 2 LSH buckets, Hamming-1 probing covers both
+    // 1 table x 1 plane -> 2 LSH buckets, Hamming-1 probing covers both
     val full = SimilarityOps.annRecall(vecs, nQueries = 3, k = 2,
       SimilarityOps.IvfIndex(nlist = 1, nprobe = 1),
-      SimilarityOps.SignLsh(planes = 1, dims = 4)).collect()
+      SimilarityOps.BandedSignLsh(tables = 1, planes = 1, dims = 4)).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
     assert(full.map(_._1).toSeq == Seq(0L, 1L, 2L))
     assert(full.forall { case (_, ri, rl) => ri == 1.0 && rl == 1.0 })
@@ -561,9 +561,45 @@ class DatasetOpsSpec extends AnyFunSuite {
     // the harness still reports every query
     val tight = SimilarityOps.annRecall(vecs, nQueries = 3, k = 2,
       SimilarityOps.IvfIndex(nlist = 8, nprobe = 1),
-      SimilarityOps.SignLsh(planes = 1, dims = 4)).collect()
+      SimilarityOps.BandedSignLsh(tables = 1, planes = 1, dims = 4)).collect()
     assert(tight.length == 3 &&
       tight.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // more tables can only ADD candidates: banded recall >= the
+    // single-selective-table recall for every query
+    val one = SimilarityOps.annRecall(vecs, nQueries = 3, k = 2,
+      SimilarityOps.IvfIndex(nlist = 1, nprobe = 1),
+      SimilarityOps.BandedSignLsh(tables = 1, planes = 4, dims = 4))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val many = SimilarityOps.annRecall(vecs, nQueries = 3, k = 2,
+      SimilarityOps.IvfIndex(nlist = 1, nprobe = 1),
+      SimilarityOps.BandedSignLsh(tables = 8, planes = 4, dims = 4))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(one.keySet == many.keySet &&
+      one.forall { case (q, r) => many(q) >= r })
+  }
+
+  test("banded sign-lsh: indexed path (partition pruning + id dedup) " +
+    "matches the index-free filter path; identical vector ranks first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-blsh").toString
+    val io = graft.sink.TableIO(dir)
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (10L, Seq(0.9f, 0.1f, 0f, 0f)), (11L, Seq(0.1f, 0.9f, 0f, 0f)),
+      (12L, Seq(-1f, -0.05f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq((99L, Seq(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    val lsh = SimilarityOps.BandedSignLsh(tables = 3, planes = 4, dims = 4)
+    lsh.writeIndex(corpus, io, "blsh")
+    val via = lsh.topKIndexed(spark, io, "blsh", query, 5)
+    val plan = via.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan)
+    val indexed = via.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val direct = lsh.topK(corpus, query, 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(indexed == direct) // same probe set, same candidates
+    assert(indexed.head._2 == 0L) // identical vector first
+    // empty query set stays total
+    assert(lsh.topKIndexed(spark, io, "blsh", query.limit(0), 5).count() == 0)
   }
 
   test("semdedup: within-cell min-id survivor rule, cross-cell twins " +
