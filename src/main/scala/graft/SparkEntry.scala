@@ -671,6 +671,43 @@ object SparkEntry {
           "type", "units", "valueTypes", "aggTypes", "dataType",
           "durationNs", "profileID", "labels", "val")
     },
+    "pprof_parse" -> { (s, dir) =>
+      // pyroscope pprof body decode: gzipped profile.proto payloads
+      // built driver-side from a deterministic integer range (the
+      // remote_write_parse fixture pattern — protobuf bytes cannot be
+      // synthesized in SQL); covers sample-type filtering (cpu not in
+      // the mapping, alloc_space cumulative), samples→ns scaling,
+      // same-stack summing, inline lines, sample labels, spy layouts
+      val _ = dir
+      import s.implicits._
+      import PprofOps.Encode.{Fn, Loc, Smpl}
+      val payloads = (0 until 48).map { i =>
+        (i.toLong,
+          PprofOps.Encode.profile(
+            sampleTypes = Seq(("samples", "count"), ("cpu", "nanoseconds"),
+              ("inuse_space", "bytes"), ("alloc_space", "bytes")),
+            samples = Seq(
+              Smpl(Seq(1, 2), Seq(i + 1, 999, 50, 7)),
+              Smpl(Seq(1, 2), Seq(5, 999, 0, 7)),
+              Smpl(Seq(3), Seq(7, 0, i + 2, 0),
+                labels = Seq("span" -> s"sp-${i % 3}"))),
+            locations = Seq(Loc(1, Seq(10)), Loc(2, Seq(11)),
+              Loc(3, Seq(12, 11))),
+            functions = Seq(Fn(10, s"alpha_${i % 4}", "alpha.go"),
+              Fn(11, "beta", "beta.go"), Fn(12, "gamma", "gamma.go")),
+            timeNanos = (1673495500L + i) * 1000000000L,
+            durationNanos = 10000000000L,
+            periodType = Some(("cpu", "nanoseconds")), period = 10000000L),
+          s"app-${i % 3}.cpu{profile_id=p$i,svc=s${i % 5}}",
+          if (i % 2 == 0) "gospy" else "pyroscope-rbspy",
+          "100")
+      }
+      PprofOps.PprofParser(tags = Map("cluster" -> "sls-mall"))(
+        payloads.toDF("pid", "payload", "name", "spyName", "sampleRate"))
+        .select("pid", "name", "stack", "language", "type", "units",
+          "valueTypes", "aggTypes", "dataType", "durationNs", "profileID",
+          "labels", "val")
+    },
     "statsd_parse" -> { (s, dir) =>
       val t = transcripts(s, dir)
       val m3 = pmod(col("turn_idx"), lit(3))
@@ -1570,6 +1607,52 @@ object SparkEntry {
            SELECT conv_id, turn_idx, 'solo_' || role, '', lang, ptype,
              u_out, vt, 'sum', 'CallStack', 10000000000, 'p' || turn_idx,
              lbl, printf('%.2f', cast(3 * fac AS DOUBLE)) FROM b"""),
+
+      // expected rows recomputed from the same integer range the Spark
+      // side built its protobuf payloads from (remote_write pattern):
+      // 4 rows per payload — {alpha-stack, gamma-stack} × {samples
+      // (scaled to ns, summed across same-stack samples), inuse_space}
+      "pprof_parse" ->
+        """WITH b AS (
+             SELECT i,
+               CASE WHEN i % 2 = 0 THEN 'go' ELSE 'rb' END AS lang,
+               'alpha_' || (i % 4) AS afn,
+               '{"__name__":"app-' || (i % 3) ||
+                 '","_sample_rate_":"100","cluster":"sls-mall","profile_id":"p'
+                 || i || '","svc":"s' || (i % 5) || '"}' AS lbl,
+               '{"__name__":"app-' || (i % 3) ||
+                 '","_sample_rate_":"100","cluster":"sls-mall","profile_id":"p'
+                 || i || '","span":"sp-' || (i % 3) || '","svc":"s'
+                 || (i % 5) || '"}' AS lbl_span
+             FROM (SELECT unnest(range(0, 48)) AS i)
+           ), f AS (
+             SELECT i, lang, lbl, lbl_span,
+               CASE WHEN lang = 'go' THEN afn || ' alpha.go'
+                    ELSE 'alpha.go ' || afn END AS alpha_f,
+               CASE WHEN lang = 'go' THEN 'beta beta.go'
+                    ELSE 'beta.go beta' END AS beta_f,
+               CASE WHEN lang = 'go' THEN 'gamma gamma.go'
+                    ELSE 'gamma.go gamma' END AS gamma_f
+             FROM b)
+           SELECT i AS pid, alpha_f AS name, beta_f AS stack, lang AS language,
+             'profile_cpu' AS "type", 'nanoseconds' AS units,
+             'cpu' AS "valueTypes", 'sum' AS "aggTypes",
+             'CallStack' AS "dataType", cast(10000000000 AS BIGINT) AS "durationNs",
+             'p' || i AS "profileID", lbl AS labels,
+             printf('%.2f', cast((i + 6) * 10000000 AS DOUBLE)) AS val
+           FROM f
+           UNION ALL
+           SELECT i, alpha_f, beta_f, lang, 'profile_mem', 'bytes',
+             'inuse_space', 'avg', 'CallStack', 10000000000, 'p' || i, lbl,
+             '50.00' FROM f
+           UNION ALL
+           SELECT i, gamma_f, beta_f, lang, 'profile_cpu', 'nanoseconds',
+             'cpu', 'sum', 'CallStack', 10000000000, 'p' || i, lbl_span,
+             '70000000.00' FROM f
+           UNION ALL
+           SELECT i, gamma_f, beta_f, lang, 'profile_mem', 'bytes',
+             'inuse_space', 'avg', 'CallStack', 10000000000, 'p' || i,
+             lbl_span, printf('%.2f', cast(i + 2 AS DOUBLE)) FROM f""",
 
       "statsd_parse" -> withCte(
         """, base AS (

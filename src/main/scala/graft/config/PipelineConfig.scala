@@ -365,6 +365,16 @@ object PipelineConfig {
         nameKey = strOpt(n, "nameKey").getOrElse("name"),
         tags = tags).apply _
     },
+    "pprof_parse" -> { n =>
+      // pyroscope pprof body decode (gzipped profile.proto)
+      val tags = Option(n.get("tags")).map(_.fields.asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty[String, String])
+      PprofOps.PprofParser(
+        sourceKey = strOpt(n, "sourceKey").getOrElse("payload"),
+        nameKey = strOpt(n, "nameKey").getOrElse("name"),
+        tags = tags).apply _
+    },
     // -- deterministic sampling / mixing (training-data curation) ----------
     "sample_hash" -> { n =>
       SampleOps.HashSample(str(n, "keyField"), dbl(n, "rate", 1.0),

@@ -36,7 +36,7 @@ object BinaryDecoders {
 
   /** Cursor over one (sub)message's bytes. Throws on malformed input;
     * callers catch per-payload. */
-  private final class Pb(buf: Array[Byte], start: Int, val end: Int) {
+  private[ops] final class Pb(buf: Array[Byte], start: Int, val end: Int) {
     var pos: Int = start
     def hasNext: Boolean = pos < end
     // every read is bounds-checked against THIS sub-message's end: a
@@ -94,7 +94,7 @@ object BinaryDecoders {
     }
   }
 
-  private def root(bytes: Array[Byte]) = new Pb(bytes, 0, bytes.length)
+  private[ops] def root(bytes: Array[Byte]) = new Pb(bytes, 0, bytes.length)
 
   // --- shared metric-log rendering (JVM twins of the Catalyst helpers) -----
 
