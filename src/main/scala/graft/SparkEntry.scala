@@ -585,6 +585,22 @@ object SparkEntry {
         .select("pid", "__name__", "__labels__", "__time_nano__",
           "__value__")
     },
+    "remote_write_roundtrip" -> { (s, dir) =>
+      // flusher_prometheus serialization (metric rows → ≤limit-series
+      // snappy WriteRequests) then the wire decoder: the round trip
+      // reproduces the source rows exactly, independent of how series
+      // packed into payloads
+      val t = transcripts(s, dir).select(
+        concat(lit("turn_metric_"), pmod(col("turn_idx"), lit(3)))
+          .as("__name__"),
+        concat(lit("conv#$#"), col("conv_id"), lit("|role#$#"), col("role"))
+          .as("__labels__"),
+        (unix_timestamp(col("ts")) * 1000000000L).as("__time_nano__"),
+        concat(col("turn_idx"), lit(".5")).as("__value__"))
+      val packed = BinaryDecoders.RemoteWriteWriter(seriesLimit = 100)(t)
+      BinaryDecoders.RemoteWriteParser("payload")(packed.select("payload"))
+        .select("__name__", "__labels__", "__time_nano__", "__value__")
+    },
     "sls_pb_parse" -> { (s, dir) =>
       val _ = dir
       import s.implicits._
@@ -1534,6 +1550,18 @@ object SparkEntry {
            SELECT i, 'rw_metric_' || (i % 3),
              'instance#$#inst-' || i || '|job#$#job-' || (i % 5),
              (1663904183000 + i) * 1000000, cast(i * 2 AS VARCHAR) FROM t""",
+
+      // encode → decode = identity over the same transcript-derived
+      // metric rows (the sls_pb_roundtrip pattern)
+      "remote_write_roundtrip" -> withCte(
+        """, r AS (
+             SELECT 'turn_metric_' || mod(turn_idx, 3) AS n,
+               'conv#$#' || conv_id || '|role#$#' || role AS l,
+               cast(floor(epoch(ts)) AS BIGINT) * 1000000000 AS tn,
+               turn_idx || '.5' AS v
+             FROM transcripts)
+           SELECT n AS "__name__", l AS "__labels__",
+             tn AS "__time_nano__", v AS "__value__" FROM r"""),
 
       "sls_pb_parse" ->
         """WITH t AS (SELECT unnest(range(0, 48)) AS i)

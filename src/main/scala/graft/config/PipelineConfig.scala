@@ -345,6 +345,16 @@ object PipelineConfig {
         attrKeys = strs(n, "attrKeys"),
         tags = strMap(n, "tags")).apply _
     },
+    "remote_write_pack" -> { n =>
+      // flusher_prometheus serialization (≤SeriesLimit series/payload)
+      BinaryDecoders.RemoteWriteWriter(
+        nameKey = strOpt(n, "nameKey").getOrElse("__name__"),
+        labelsKey = strOpt(n, "labelsKey").getOrElse("__labels__"),
+        timeKey = strOpt(n, "timeKey").getOrElse("__time_nano__"),
+        valueKey = strOpt(n, "valueKey").getOrElse("__value__"),
+        seriesLimit = int(n, "seriesLimit", 1000),
+        snappy = bool(n, "snappy", true)).apply _
+    },
     "sls_pb_pack" -> { n =>
       // flusher-side LogGroup packing (FlusherSLS batch caps)
       BinaryDecoders.SlsPbWriter(

@@ -397,6 +397,96 @@ object BinaryDecoders {
     }
   }
 
+  // --- flusher_prometheus remote-write encoding ------------------------------
+
+  /** The flusher_prometheus serialization shape: metric-log rows →
+    * snappy(prompb.WriteRequest) payloads, at most `seriesLimit`
+    * timeseries per payload (`plugins/flusher/prometheus/config.go:21`,
+    * default 1000 in `def.go:24`). Mirrors the reference encoder
+    * `pkg/protocol/encoder/prometheus/{encoder_prometheus.go:64-103,
+    * utils.go:44-99}`: one single-sample TimeSeries per metric event,
+    * labels = tags + `__name__` in LEXICOGRAPHICAL order with empty
+    * names/values dropped (remote-write spec), timestamps nanos → ms.
+    *
+    * Input rows carry the engine's metric-log shape — the same columns
+    * every metric decoder emits ([[RemoteWriteParser]], influx, statsd,
+    * prometheus text): `__name__`, `__labels__` (`k#$#v|…` rendering),
+    * `__time_nano__`, `__value__` (string; `__STALE_NAN__` round-trips
+    * to the staleness-marker bits). Same mapPartitions seam and posture
+    * as [[SlsPbWriter]]: partition-local packing, no shuffle, no driver
+    * state; `RemoteWriteParser(this(df))` reproduces the exact row set
+    * (pack boundaries are partition-dependent, the rows are not).
+    * Output: one row per payload (`payload` binary, `n_series`). */
+  final case class RemoteWriteWriter(
+      nameKey: String = "__name__",
+      labelsKey: String = "__labels__",
+      timeKey: String = "__time_nano__",
+      valueKey: String = "__value__",
+      seriesLimit: Int = 1000,
+      snappy: Boolean = true) {
+    require(seriesLimit > 0, "seriesLimit must be positive")
+
+    def apply(df: DataFrame): DataFrame = {
+      val outSchema = StructType(Array(
+        StructField("payload", BinaryType),
+        StructField("n_series", IntegerType)))
+      val inSchema = df.schema
+      val nIdx = inSchema.fieldIndex(nameKey)
+      val lIdx = inSchema.fieldIndex(labelsKey)
+      val tIdx = inSchema.fieldIndex(timeKey)
+      val vIdx = inSchema.fieldIndex(valueKey)
+      val (limit, compress) = (seriesLimit, snappy)
+      df.mapPartitions { rows =>
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Seq[(String, String)], Seq[(Double, Long)])]
+        def flush(): Option[Row] =
+          if (buf.isEmpty) None
+          else {
+            val raw = Encode.writeRequestRaw(buf.toSeq)
+            val n = buf.size
+            buf.clear()
+            Some(Row(
+              if (compress) org.xerial.snappy.Snappy.compress(raw) else raw,
+              n))
+          }
+        rows.flatMap { r =>
+          val pre = if (buf.size >= limit) flush() else None
+          // total-function posture: null/hostile fields coerce, never
+          // kill the batch (the decoders' twin discipline)
+          val name = if (r.isNullAt(nIdx)) "" else String.valueOf(r.get(nIdx))
+          val labelStr =
+            if (r.isNullAt(lIdx)) "" else String.valueOf(r.get(lIdx))
+          val tags = labelStr.split("\\|").toSeq.flatMap { ent =>
+            val i = ent.indexOf("#$#")
+            if (i < 0) None else Some(ent.substring(0, i) ->
+              ent.substring(i + 3))
+          }
+          val tn = r.get(tIdx) match {
+            case n: Number => n.longValue
+            case null => 0L
+            case other => scala.util.Try(
+              String.valueOf(other).toLong).getOrElse(0L)
+          }
+          val value = if (r.isNullAt(vIdx)) 0.0 else
+            String.valueOf(r.get(vIdx)) match {
+              case "__STALE_NAN__" =>
+                java.lang.Double.longBitsToDouble(StaleNaNBits)
+              case s => scala.util.Try(s.toDouble).getOrElse(0.0)
+            }
+          // labels: tags + __name__, lexicographically sorted, empties
+          // dropped (utils.go:63-99); nanos → ms (utils.go:52-59)
+          val labels = ((metricNameKey -> name) +: tags)
+            .filter { case (k, v) => k.nonEmpty && v.nonEmpty }
+            .sortBy(_._1)
+          buf += ((labels, Seq((value, tn / 1000000L))))
+          pre
+        } ++ flush().iterator
+      }(Encoders.row(outSchema))
+    }
+  }
+
+  private val metricNameKey = "__name__"
+
   // --- test-vector encoders -------------------------------------------------
 
   /** Hand-rolled wire-format writers used by specs and the
@@ -424,13 +514,24 @@ object BinaryDecoders {
       out.toByteArray
     }
 
-    /** prompb.WriteRequest bytes (uncompressed). */
+    /** prompb.WriteRequest bytes (uncompressed), `__name__` prepended
+      * to the given labels — the fixture-building convenience. */
     def writeRequest(
         series: Seq[(String, Seq[(String, String)], Seq[(Double, Long)])])
+        : Array[Byte] =
+      writeRequestRaw(series.map { case (name, labels, samples) =>
+        ((("__name__" -> name) +: labels), samples)
+      })
+
+    /** prompb.WriteRequest bytes from FULL label lists, written in the
+      * given order — the flusher encoder passes an already-sorted list
+      * per the remote-write spec ([[RemoteWriteWriter]]). */
+    def writeRequestRaw(
+        series: Seq[(Seq[(String, String)], Seq[(Double, Long)])])
         : Array[Byte] = msg { out =>
-      series.foreach { case (name, labels, samples) =>
+      series.foreach { case (labels, samples) =>
         bytesField(out, 1, msg { ts =>
-          (("__name__" -> name) +: labels).foreach { case (k, v) =>
+          labels.foreach { case (k, v) =>
             bytesField(ts, 1, msg { lb =>
               strField(lb, 1, k); strField(lb, 2, v)
             })

