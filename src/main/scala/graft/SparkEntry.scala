@@ -656,6 +656,68 @@ object SparkEntry {
           col("contents")("role").as("role"),
           col("contents")("text").as("text"))
     },
+    "otlp_metrics_roundtrip" -> { (s, dir) =>
+      // flusher-side OTLP metrics serialization
+      // (ConvertPipelineEventToOtlpMetric direction) then the metric
+      // decoder: family cycles gauge/counter/summary per turn; the
+      // round trip reproduces the reference's metric-log row set
+      val m3 = pmod(col("turn_idx"), lit(3))
+      val rows = transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"), col("role"),
+        concat(lit("turn_"), col("role")).as("mname"),
+        when(m3 === 0, "gauge").when(m3 === 1, "counter")
+          .otherwise("summary").as("metric_type"),
+        (unix_timestamp(col("ts")) * 1000000000L).as("tn"),
+        (col("turn_idx") + lit(0.25)).cast("double").as("value"),
+        (col("turn_idx") + lit(0.5)).cast("double").as("m_sum"),
+        lit(10L).as("m_count"),
+        array(struct(lit(0.5).as("quantile"), lit(1.5).as("value")))
+          .as("quantiles"))
+      val packed = OtlpOps.OtlpMetricWriter(nameKey = "mname",
+        timeKey = "tn", orderKey = "turn_idx", groupKeys = Seq("conv_id"),
+        attrKeys = Seq("role"), tags = Map("src" -> "graft"))(rows)
+      OtlpOps.OtlpMetricParser("payload")(packed.select("payload"))
+        .select("__name__", "__labels__", "__time_nano__", "__value__")
+    },
+    "otlp_traces_roundtrip" -> { (s, dir) =>
+      // flusher-side OTLP traces serialization
+      // (ConvertPipelineEventToOtlpSpan direction) then the trace
+      // decoder: ids/kind/status/events/links/host+service shortcuts
+      // and scope all survive the round trip
+      val m3 = pmod(col("turn_idx"), lit(3))
+      val tn = unix_timestamp(col("ts")) * 1000000000L
+      val rows = transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        concat(lit("op_"), col("tool")).as("sname"),
+        md5(concat_ws(":", col("conv_id"), col("turn_idx")))
+          .as("trace_id"),
+        substring(md5(concat_ws("#", col("conv_id"), col("turn_idx"))),
+          1, 16).as("span_id"),
+        (pmod(col("turn_idx"), lit(5)) + 1).cast("int").as("kind"),
+        tn.as("start_nano"),
+        (tn + col("turn_idx") * 1000L + 2000L).as("end_nano"),
+        m3.cast("int").as("status_code"),
+        when(m3 === 2, "boom").otherwise("").as("status_message"),
+        // resource-level shortcuts must be group-constant (they are
+        // read off the group's first row), so derive from the group key
+        concat(lit("h-"), col("conv_id")).as("host"),
+        concat(lit("svc-"), col("conv_id")).as("service"),
+        array(struct(lit("ev").as("name"), (tn + 500000L).as("time")))
+          .as("events"),
+        array(struct(md5(col("conv_id")).as("traceId"),
+          lit("1112131415161718").as("spanId"))).as("links"))
+      val packed = OtlpOps.OtlpTraceWriter(nameKey = "sname",
+        orderKey = "turn_idx", groupKeys = Seq("conv_id"),
+        scopeName = "graft", scopeVersion = "v1",
+        attrKeys = Seq("role"), tags = Map("env" -> "prod"))(rows)
+      OtlpOps.OtlpTraceParser("payload")(packed.select("conv_id", "payload"))
+        .select(col("conv_id"), col("host"), col("service"),
+          col("resource"), col("`otlp.name`"), col("`otlp.version`"),
+          col("traceID"), col("spanID"), col("parentSpanID"), col("kind"),
+          col("name"), col("links"), col("logs"), col("traceState"),
+          col("start"), col("end"), col("duration"), col("attribute"),
+          col("statusCode"), col("statusMessage"))
+    },
     "pyroscope_groups_parse" -> { (s, dir) =>
       // pyroscope push ingest, groups (collapsed-stack) wire format:
       // 3 profile lines per request (multi-frame with a spaced frame,
@@ -1587,6 +1649,68 @@ object SparkEntry {
                AS attributes,
              '{"conv_id":"' || conv_id || '","source":"graft"}' AS resources
            FROM r"""),
+
+      // encode → decode = the reference's metric-log rows for the same
+      // transcript-derived metric events (labels key-sorted k#$#v|…;
+      // counter adds the Delta-temporality/ismonotonic labels)
+      "otlp_metrics_roundtrip" -> withCte(
+        """, mb AS (
+             SELECT conv_id, turn_idx, role, mod(turn_idx, 3) AS m3,
+               cast(floor(epoch(ts)) AS BIGINT) * 1000000000 AS tn,
+               'turn_' || role AS n,
+               'conv_id#$#' || conv_id || '|role#$#' || role ||
+                 '|src#$#graft' AS base
+             FROM transcripts)
+           SELECT n AS "__name__", base AS "__labels__",
+             tn AS "__time_nano__", turn_idx || '.25' AS "__value__"
+           FROM mb WHERE m3 = 0
+           UNION ALL SELECT n,
+             'conv_id#$#' || conv_id ||
+               '|otlp_metric_aggregation_temporality#$#Delta' ||
+               '|otlp_metric_ismonotonic#$#false|role#$#' || role ||
+               '|src#$#graft',
+             tn, turn_idx || '.25' FROM mb WHERE m3 = 1
+           UNION ALL SELECT n || '_sum', base, tn, turn_idx || '.5'
+             FROM mb WHERE m3 = 2
+           UNION ALL SELECT n || '_count', base, tn, '10'
+             FROM mb WHERE m3 = 2
+           UNION ALL SELECT n,
+             'conv_id#$#' || conv_id || '|quantile#$#0.5|role#$#' || role ||
+               '|src#$#graft',
+             tn, '1.5' FROM mb WHERE m3 = 2"""),
+
+      // encode → decode = the reference's span-log field set for the
+      // same transcript-derived spans (μs times, name-mapped kind and
+      // status, key-sorted events/links JSON, host/service shortcuts)
+      "otlp_traces_roundtrip" -> withCte(
+        """, tb AS (
+             SELECT conv_id, turn_idx, role, tool, mod(turn_idx, 3) AS m3,
+               cast(floor(epoch(ts)) AS BIGINT) * 1000000 AS tu,
+               cast(floor(epoch(ts)) AS BIGINT) * 1000000000 AS tn
+             FROM transcripts)
+           SELECT conv_id, 'h-' || conv_id AS host,
+             'svc-' || conv_id AS service,
+             '{"conv_id":"' || conv_id || '","env":"prod"}' AS resource,
+             'graft' AS "otlp.name", 'v1' AS "otlp.version",
+             md5(conv_id || ':' || turn_idx) AS "traceID",
+             substr(md5(conv_id || '#' || turn_idx), 1, 16) AS "spanID",
+             '' AS "parentSpanID",
+             CASE mod(turn_idx, 5) WHEN 0 THEN 'internal'
+               WHEN 1 THEN 'server' WHEN 2 THEN 'client'
+               WHEN 3 THEN 'producer' ELSE 'consumer' END AS kind,
+             'op_' || tool AS name,
+             '[{"attribute":{},"spanID":"1112131415161718","traceID":"'
+               || md5(conv_id) || '"}]' AS links,
+             '[{"attribute":{},"name":"ev","time":' || (tn + 500000)
+               || '}]' AS logs,
+             '' AS "traceState",
+             tu AS start, tu + turn_idx + 2 AS "end",
+             cast(turn_idx + 2 AS BIGINT) AS duration,
+             '{"role":"' || role || '"}' AS attribute,
+             CASE m3 WHEN 1 THEN 'OK' WHEN 2 THEN 'ERROR'
+               ELSE 'UNSET' END AS "statusCode",
+             CASE m3 WHEN 2 THEN 'boom' ELSE '' END AS "statusMessage"
+           FROM tb"""),
 
       // the packed-then-decoded row set equals the source rows: the
       // oracle is the identity projection over the same transcript view

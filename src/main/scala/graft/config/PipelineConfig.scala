@@ -355,6 +355,36 @@ object PipelineConfig {
         seriesLimit = int(n, "seriesLimit", 1000),
         snappy = bool(n, "snappy", true)).apply _
     },
+    "otlp_metric_pack" -> { n =>
+      // flusher-side OTLP/JSON metrics serialization (one payload/group;
+      // family picked per row by typeKey — ConvertPipelineEventToOtlpMetric)
+      OtlpOps.OtlpMetricWriter(
+        nameKey = str(n, "nameKey"),
+        timeKey = str(n, "timeKey"),
+        orderKey = str(n, "orderKey"),
+        groupKeys = strs(n, "groupKeys"),
+        typeKey = strOpt(n, "typeKey").getOrElse("metric_type"),
+        valueKey = strOpt(n, "valueKey").getOrElse("value"),
+        attrKeys = strs(n, "attrKeys"),
+        tags = strMap(n, "tags")).apply _
+    },
+    "otlp_trace_pack" -> { n =>
+      // flusher-side OTLP/JSON traces serialization (one payload/group —
+      // ConvertPipelineEventToOtlpSpan)
+      OtlpOps.OtlpTraceWriter(
+        nameKey = str(n, "nameKey"),
+        orderKey = str(n, "orderKey"),
+        groupKeys = strs(n, "groupKeys"),
+        traceIdKey = strOpt(n, "traceIdKey").getOrElse("trace_id"),
+        spanIdKey = strOpt(n, "spanIdKey").getOrElse("span_id"),
+        kindKey = strOpt(n, "kindKey").getOrElse("kind"),
+        startKey = strOpt(n, "startKey").getOrElse("start_nano"),
+        endKey = strOpt(n, "endKey").getOrElse("end_nano"),
+        scopeName = strOpt(n, "scopeName").getOrElse(""),
+        scopeVersion = strOpt(n, "scopeVersion").getOrElse(""),
+        attrKeys = strs(n, "attrKeys"),
+        tags = strMap(n, "tags")).apply _
+    },
     "sls_pb_pack" -> { n =>
       // flusher-side LogGroup packing (FlusherSLS batch caps)
       BinaryDecoders.SlsPbWriter(

@@ -533,11 +533,12 @@ object OtlpOps {
           lit(",\"traceID\":"), jsonStr(coalesce(l.getField("traceId"), lit(""))),
           lit("}"))), ","), lit("]")))
 
-    /** nanos → micros; exact integer math (strip the sub-μs remainder
-      * before the division so the double divide is over a multiple of
-      * 1000 — exact for any realistic timestamp). */
+    /** nanos → micros; integral division (`div`) — a double divide is
+      * NOT exact here: nano timestamps (~1.7e18) exceed the 53-bit
+      * double mantissa, so `(t/1000).cast` is off by one whenever the
+      * nano value isn't a multiple of a large power of two. */
     private def micros(t: Column): Column =
-      ((t - pmod(t, lit(1000L))) / 1000).cast("bigint")
+      call_function("div", t, lit(1000L)).cast("bigint")
 
     def apply(df: DataFrame): DataFrame = {
       val schema = StructType.fromDDL(schemaDDL)
@@ -661,6 +662,249 @@ object OtlpOps {
             array(struct(col("__recs__").as("logRecords")))
               .as("scopeLogs"))).as("resourceLogs"))).as("payload") :+
           size(col("__recs__")).as("n_records"): _*)
+    }
+  }
+
+  /** Shared flusher-side assembly: order rows per group with the
+    * stable ordered-concat idiom and serialize ONE JSON request per
+    * group — the [[OtlpLogWriter]] shape reused by the metric and
+    * trace writers. `record` is the per-row pdata struct; `wrap`
+    * turns the collected record array + resource attrs into the
+    * request struct to `to_json`. */
+  private def groupedRequest(df: DataFrame, groupKeys: Seq[String],
+      orderKey: String, tiebreakCols: Seq[String],
+      tags: Map[String, String], record: Column,
+      wrap: (Column, Column) => Column,
+      extraRes: Seq[(String, Column)] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def strAttr(k: String, v: Column): Column =
+      struct(lit(k).as("key"),
+        struct(v.cast("string").as("stringValue")).as("value"))
+    val tiebreak = xxhash64(tiebreakCols.distinct.map(col): _*)
+    val byG = Window.partitionBy(groupKeys.map(col): _*)
+      .orderBy(col(orderKey), tiebreak)
+    val full = byG.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // extraRes columns must be group-constant (resource-level fields
+    // like host/service) — they are read off the group's first row
+    val resAttrs = filter(
+      array(extraRes.map { case (k, v) => strAttr(k, v) } ++
+        groupKeys.map(k => strAttr(k, col(k))) ++
+        tags.toSeq.sortBy(_._1).map { case (k, v) => strAttr(k, lit(v)) }: _*),
+      a => a.getField("value").getField("stringValue").isNotNull)
+    df.select(groupKeys.map(col) :+
+        row_number().over(byG).as("__rn__") :+
+        collect_list(record).over(full).as("__recs__") :+
+        resAttrs.as("__res__"): _*)
+      .where(col("__rn__") === 1)
+      .select(groupKeys.map(col) :+
+        to_json(wrap(col("__recs__"), col("__res__"))).as("payload") :+
+        size(col("__recs__")).as("n_records"): _*)
+  }
+
+  /** A column that may not exist in the input (absent config surface —
+    * reads as null, same contract as the pyroscope parsers). */
+  private def optCol(df: DataFrame, name: String, ddl: String): Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast(ddl)
+
+  /** Flusher-side OTLP/JSON **metrics** serialization —
+    * `ConvertPipelineEventToOtlpMetric`
+    * (`pkg/protocol/converter/otlp.go:230-289`): one Metric per metric
+    * row, family picked by `typeKey` exactly as the reference switches
+    * on `MetricType`:
+    *  - `gauge` → Gauge, one double-valued NumberDataPoint
+    *    (`appgendNumberDatapoint` always `SetDoubleValue`, otlp.go:380-387);
+    *  - `counter` → Sum with DELTA temporality (otlp.go:251-254);
+    *  - `summary` → Summary with sum/count + quantileValues
+    *    (otlp.go:389-407);
+    *  - `histogram` → Histogram with count, optional sum/min/max,
+    *    explicitBounds + bucketCounts (otlp.go:409-436);
+    *  - `exp_histogram` → ExponentialHistogram with scale/zeroCount and
+    *    positive/negative (offset, bucketCounts) (otlp.go:438-470);
+    *  - anything else (untyped/meter) is SKIPPED, as the reference's
+    *    switch does (otlp.go:245-246,270-271).
+    * Family-specific columns are optional — an absent column reads as
+    * null and the family simply never fires. Data-point attributes come
+    * from `attrKeys`; resource attributes are the group keys + static
+    * tags. One ExportMetricsServiceRequest JSON payload per group;
+    * `OtlpMetricParser(this(df))` round-trips to the exact metric-log
+    * row set. Pure Catalyst: windowed ordered-concat + ONE to_json. */
+  final case class OtlpMetricWriter(
+      nameKey: String,
+      timeKey: String, // unix nanos
+      orderKey: String,
+      groupKeys: Seq[String],
+      typeKey: String = "metric_type",
+      valueKey: String = "value",
+      sumKey: String = "m_sum",
+      countKey: String = "m_count",
+      minKey: String = "m_min",
+      maxKey: String = "m_max",
+      quantilesKey: String = "quantiles", // array<struct<quantile,value>>
+      boundsKey: String = "bounds", // array<double>
+      bucketCountsKey: String = "bucket_counts", // array<long>
+      scaleKey: String = "scale",
+      zeroCountKey: String = "zero_count",
+      posOffsetKey: String = "pos_offset",
+      posCountsKey: String = "pos_counts",
+      negOffsetKey: String = "neg_offset",
+      negCountsKey: String = "neg_counts",
+      attrKeys: Seq[String] = Nil,
+      tags: Map[String, String] = Map.empty) {
+    require(groupKeys.nonEmpty, "need at least one group key")
+
+    def apply(df: DataFrame): DataFrame = {
+      def strAttr(k: String): Column =
+        struct(lit(k).as("key"),
+          struct(col(k).cast("string").as("stringValue")).as("value"))
+      val attrs =
+        if (attrKeys.isEmpty) array().cast(
+          "array<struct<key:string,value:struct<stringValue:string>>>")
+        else filter(array(attrKeys.map(strAttr): _*),
+          a => a.getField("value").getField("stringValue").isNotNull)
+      val tn = col(timeKey).cast("long").cast("string")
+      val mtype = col(typeKey)
+      val numDp = array(struct(attrs.as("attributes"),
+        tn.as("timeUnixNano"),
+        optCol(df, valueKey, "double").cast("double").as("asDouble")))
+      val counts = optCol(df, countKey, "long").cast("long")
+      val summaryDp = array(struct(attrs.as("attributes"),
+        tn.as("timeUnixNano"), counts.as("count"),
+        optCol(df, sumKey, "double").cast("double").as("sum"),
+        optCol(df, quantilesKey,
+          "array<struct<quantile:double,value:double>>")
+          .as("quantileValues")))
+      val histDp = array(struct(attrs.as("attributes"),
+        tn.as("timeUnixNano"), counts.as("count"),
+        optCol(df, sumKey, "double").cast("double").as("sum"),
+        optCol(df, minKey, "double").cast("double").as("min"),
+        optCol(df, maxKey, "double").cast("double").as("max"),
+        optCol(df, boundsKey, "array<double>").as("explicitBounds"),
+        optCol(df, bucketCountsKey, "array<long>").as("bucketCounts")))
+      def side(offKey: String, cntKey: String) =
+        struct(optCol(df, offKey, "long").cast("long").as("offset"),
+          optCol(df, cntKey, "array<long>").as("bucketCounts"))
+      val expDp = array(struct(attrs.as("attributes"),
+        tn.as("timeUnixNano"), counts.as("count"),
+        optCol(df, sumKey, "double").cast("double").as("sum"),
+        optCol(df, minKey, "double").cast("double").as("min"),
+        optCol(df, maxKey, "double").cast("double").as("max"),
+        optCol(df, scaleKey, "long").cast("long").as("scale"),
+        optCol(df, zeroCountKey, "long").cast("long").as("zeroCount"),
+        side(posOffsetKey, posCountsKey).as("positive"),
+        side(negOffsetKey, negCountsKey).as("negative")))
+      // pdata JSON marshals enums as ints: 1 = DELTA
+      val metric = struct(
+        col(nameKey).cast("string").as("name"),
+        when(mtype === "gauge", struct(numDp.as("dataPoints"))).as("gauge"),
+        when(mtype === "counter", struct(numDp.as("dataPoints"),
+          lit(1).as("aggregationTemporality"))).as("sum"),
+        when(mtype === "summary",
+          struct(summaryDp.as("dataPoints"))).as("summary"),
+        when(mtype === "histogram",
+          struct(histDp.as("dataPoints"))).as("histogram"),
+        when(mtype === "exp_histogram",
+          struct(expDp.as("dataPoints"))).as("exponentialHistogram"))
+      val known =
+        mtype.isin("gauge", "counter", "summary", "histogram",
+          "exp_histogram")
+      groupedRequest(df.where(known), groupKeys, orderKey,
+        Seq(nameKey, timeKey, typeKey) ++ attrKeys, tags, metric,
+        (recs, res) => struct(array(struct(
+          struct(res.as("attributes")).as("resource"),
+          array(struct(recs.as("metrics")))
+            .as("scopeMetrics"))).as("resourceMetrics")))
+    }
+  }
+
+  /** Flusher-side OTLP/JSON **traces** serialization —
+    * `ConvertPipelineEventToOtlpSpan`
+    * (`pkg/protocol/converter/otlp.go:292-361`): one Span per row with
+    * ids, numeric kind, start/end nanos, attributes from `attrKeys`,
+    * numeric status code + optional message, trace state, and optional
+    * events/links carried as array-typed columns (attribute-less — the
+    * common shape; the reference copies tags per event/link the same
+    * way). Resource attributes are the group keys + static tags, with
+    * optional `host.name`/`service.name` pulled from `hostKey`/
+    * `serviceKey` (the trace parser's shortcut fields); scope
+    * name/version from config, as `setScope` reads them from group tags
+    * (otlp.go:364-378). One ExportTraceServiceRequest JSON per group;
+    * `OtlpTraceParser(this(df))` round-trips the span-log row set. */
+  final case class OtlpTraceWriter(
+      nameKey: String,
+      orderKey: String,
+      groupKeys: Seq[String],
+      traceIdKey: String = "trace_id",
+      spanIdKey: String = "span_id",
+      parentSpanIdKey: String = "parent_span_id",
+      kindKey: String = "kind", // numeric ptrace.SpanKind
+      startKey: String = "start_nano",
+      endKey: String = "end_nano",
+      statusCodeKey: String = "status_code", // numeric ptrace.StatusCode
+      statusMessageKey: String = "status_message",
+      traceStateKey: String = "trace_state",
+      eventsKey: String = "events", // array<struct<name:string,time:long>>
+      linksKey: String = "links", // array<struct<traceId:string,spanId:string>>
+      hostKey: String = "host",
+      serviceKey: String = "service",
+      scopeName: String = "",
+      scopeVersion: String = "",
+      attrKeys: Seq[String] = Nil,
+      tags: Map[String, String] = Map.empty) {
+    require(groupKeys.nonEmpty, "need at least one group key")
+
+    def apply(df: DataFrame): DataFrame = {
+      def strAttr(k: String): Column =
+        struct(lit(k).as("key"),
+          struct(col(k).cast("string").as("stringValue")).as("value"))
+      val attrs =
+        if (attrKeys.isEmpty) array().cast(
+          "array<struct<key:string,value:struct<stringValue:string>>>")
+        else filter(array(attrKeys.map(strAttr): _*),
+          a => a.getField("value").getField("stringValue").isNotNull)
+      val events = transform(
+        optCol(df, eventsKey, "array<struct<name:string,time:long>>"),
+        e => struct(e.getField("time").cast("string").as("timeUnixNano"),
+          e.getField("name").as("name")))
+      val links = optCol(df, linksKey,
+        "array<struct<traceId:string,spanId:string>>")
+      val span = struct(
+        col(traceIdKey).cast("string").as("traceId"),
+        col(spanIdKey).cast("string").as("spanId"),
+        optCol(df, parentSpanIdKey, "string").cast("string")
+          .as("parentSpanId"),
+        col(nameKey).cast("string").as("name"),
+        col(kindKey).cast("int").as("kind"),
+        optCol(df, traceStateKey, "string").cast("string").as("traceState"),
+        col(startKey).cast("long").cast("string").as("startTimeUnixNano"),
+        col(endKey).cast("long").cast("string").as("endTimeUnixNano"),
+        attrs.as("attributes"),
+        events.as("events"),
+        links.as("links"),
+        struct(
+          optCol(df, statusCodeKey, "int").cast("int").as("code"),
+          optCol(df, statusMessageKey, "string").cast("string")
+            .as("message")).as("status"))
+      // host.name / service.name resource attributes (group-constant,
+      // the trace parser's shortcut fields) + scope name/version
+      val extraRes =
+        (if (df.columns.contains(hostKey))
+           Seq("host.name" -> col(hostKey)) else Nil) ++
+        (if (df.columns.contains(serviceKey))
+           Seq("service.name" -> col(serviceKey)) else Nil)
+      val scope = struct(
+        (if (scopeName.nonEmpty) lit(scopeName)
+         else lit(null).cast("string")).as("name"),
+        (if (scopeVersion.nonEmpty) lit(scopeVersion)
+         else lit(null).cast("string")).as("version"))
+      groupedRequest(df, groupKeys, orderKey,
+        Seq(traceIdKey, spanIdKey, nameKey, startKey) ++ attrKeys, tags,
+        span,
+        (recs, res) => struct(array(struct(
+          struct(res.as("attributes")).as("resource"),
+          array(struct(scope.as("scope"), recs.as("spans")))
+            .as("scopeSpans"))).as("resourceSpans")),
+        extraRes = extraRes)
     }
   }
 }

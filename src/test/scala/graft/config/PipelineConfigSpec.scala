@@ -115,6 +115,10 @@ class PipelineConfigSpec extends AnyFunSuite {
       "sls_pb_parse" -> """{"type":"sls_pb_parse","sourceKey":"slsbin"}""",
       // one collapsed-stack line per body → exact pass-through counts
       "pyroscope_groups_parse" -> """{"type":"pyroscope_groups_parse","sourceKey":"pyrobody","nameKey":"pyroname"}""",
+      // one in-mapping sample type × one sample → one row per payload
+      "pprof_parse" -> """{"type":"pprof_parse","sourceKey":"pprofbin","nameKey":"pyroname"}""",
+      // seriesLimit 1 → one WriteRequest payload per input row
+      "remote_write_pack" -> """{"type":"remote_write_pack","nameKey":"role","labelsKey":"text","timeKey":"turn_idx","valueKey":"w","seriesLimit":1}""",
       // rate/weight 1.0 → exact pass-through (harness asserts no rows lost)
       "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
       "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",
@@ -130,6 +134,9 @@ class PipelineConfigSpec extends AnyFunSuite {
       "sls_pb_pack" -> """{"type":"sls_pb_pack","timeKey":"turn_idx","contentKeys":["role","text"],"topic":"t","maxLogs":1}""",
       // per-row group keys → one payload per row in (row-preserving)
       "otlp_log_pack" -> """{"type":"otlp_log_pack","timeKey":"turn_idx","orderKey":"turn_idx","groupKeys":["conv_id","turn_idx"],"bodyKey":"text","levelKey":"role"}""",
+      // per-row group keys + one typed family per row → one payload each
+      "otlp_metric_pack" -> """{"type":"otlp_metric_pack","nameKey":"role","timeKey":"turn_idx","orderKey":"turn_idx","groupKeys":["conv_id","turn_idx"],"typeKey":"mtype","valueKey":"w"}""",
+      "otlp_trace_pack" -> """{"type":"otlp_trace_pack","nameKey":"role","orderKey":"turn_idx","groupKeys":["conv_id","turn_idx"],"traceIdKey":"conv_id","spanIdKey":"conv_id","kindKey":"turn_idx","startKey":"turn_idx","endKey":"turn_idx"}""",
       // relabel needs the parsed (name, labels) frame, so its minimal
       // config is a two-stage chain (the harness splices into the array)
       "prom_relabel" -> ("""{"type":"prom_parse","sourceKey":"promline"},""" +
@@ -150,6 +157,7 @@ class PipelineConfigSpec extends AnyFunSuite {
       .withColumn("statsdline",
         org.apache.spark.sql.functions.lit("m:1|c"))
       .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("mtype", org.apache.spark.sql.functions.lit("gauge"))
       .withColumn("otlpline", org.apache.spark.sql.functions.lit(
         """{"resourceLogs":[{"scopeLogs":[{"logRecords":[{"body":{"stringValue":"x"}}]}]}]}"""))
       .withColumn("otlpmline", org.apache.spark.sql.functions.lit(
@@ -167,6 +175,14 @@ class PipelineConfigSpec extends AnyFunSuite {
           Seq((1663904182L, Seq("content" -> "x"))))))
       .withColumn("pyrobody", org.apache.spark.sql.functions.lit("a;b 1"))
       .withColumn("pyroname", org.apache.spark.sql.functions.lit("app"))
+      .withColumn("pprofbin", org.apache.spark.sql.functions.lit(
+        graft.ops.PprofOps.Encode.profile(
+          sampleTypes = Seq(("inuse_space", "bytes")),
+          samples = Seq(graft.ops.PprofOps.Encode.Smpl(Seq(1), Seq(5))),
+          locations = Seq(graft.ops.PprofOps.Encode.Loc(1, Seq(10))),
+          functions = Seq(graft.ops.PprofOps.Encode.Fn(10, "f", "f.go")),
+          timeNanos = 1673495500000000000L,
+          durationNanos = 1000000000L)))
       .withColumn("rowid",
         org.apache.spark.sql.functions.monotonically_increasing_id())
     val n = base.count()

@@ -2,6 +2,7 @@ package graft.ops
 // (vector fixtures below cite the reference's own unit tests)
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{expr, lit}
 import graft.SparkTestSession._
 
 /** OTLP/JSON metric + trace decoders, mirroring the reference decode
@@ -241,6 +242,156 @@ class OtlpOpsSpec extends AnyFunSuite {
     val out = collectMaps(OtlpOps.OtlpTraceParser("text")(textDf(payload)))
     assert(out(0)("kind") == "server" && out(0)("statusCode") == "ERROR" &&
       out(0)("host") == "" && out(0)("resource") == "{}")
+  }
+
+  test("otlp metric writer: every family round-trips through the " +
+    "metric parser with the converter's semantics (double datapoints, " +
+    "counter=Delta sum, summary quantiles, histogram buckets, exp-" +
+    "histogram sides); unknown types skipped") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      ("g1", "gauge", 1L, 2.5, "c-1"),
+      ("c1", "counter", 2L, 3.5, "c-1"),
+      ("u1", "meter", 3L, 9.9, "c-1")) // skipped (otlp.go:270)
+      .toDF("mname", "metric_type", "ord", "value", "conv")
+      .withColumn("tn", lit(1663904182000000000L))
+    val packed = OtlpOps.OtlpMetricWriter(nameKey = "mname",
+      timeKey = "tn", orderKey = "ord", groupKeys = Seq("conv"),
+      attrKeys = Seq("metric_type"), tags = Map("src" -> "graft"))(base)
+    assert(packed.count() == 1)
+    assert(packed.collect().head.getAs[Int]("n_records") == 2) // meter gone
+    val back = collectMaps(
+      OtlpOps.OtlpMetricParser("payload")(packed.select("payload"))
+        .select("__name__", "__labels__", "__time_nano__", "__value__"))
+    assert(back.size == 2)
+    val g = back.find(_("__name__") == "g1").get
+    assert(g("__labels__") ==
+      lbl("conv" -> "c-1", "src" -> "graft", "metric_type" -> "gauge"))
+    assert(g("__time_nano__") == 1663904182000000000L)
+    assert(g("__value__") == "2.5")
+    val c = back.find(_("__name__") == "c1").get
+    assert(c("__labels__") == lbl("conv" -> "c-1", "src" -> "graft",
+      "metric_type" -> "counter",
+      "otlp_metric_ismonotonic" -> "false",
+      "otlp_metric_aggregation_temporality" -> "Delta"))
+    assert(c("__value__") == "3.5")
+
+    // summary: sum/count + quantile rows
+    val sm = Seq(("s1", "summary", 1L, "c-2"))
+      .toDF("mname", "metric_type", "ord", "conv")
+      .withColumn("tn", lit(1663904182000000000L))
+      .withColumn("m_sum", lit(10.5)).withColumn("m_count", lit(4L))
+      .withColumn("quantiles", expr(
+        "array(named_struct('quantile', 0.5D, 'value', 1.25D)," +
+          "named_struct('quantile', 0.99D, 'value', 2.75D))"))
+    val sb = collectMaps(OtlpOps.OtlpMetricParser("payload")(
+      OtlpOps.OtlpMetricWriter(nameKey = "mname", timeKey = "tn",
+        orderKey = "ord", groupKeys = Seq("conv"))(sm).select("payload"))
+      .select("__name__", "__labels__", "__value__"))
+    assert(sb.map(m => (m("__name__"), m("__value__"))).toSet == Set(
+      ("s1_sum", "10.5"), ("s1_count", "4"), ("s1", "1.25"), ("s1", "2.75")))
+    assert(sb.find(_("__value__") == "1.25").get("__labels__") ==
+      lbl("conv" -> "c-2", "quantile" -> "0.5"))
+
+    // histogram: count/sum + cumulative le buckets incl. +Inf
+    val h = Seq(("h1", "histogram", 1L, "c-3"))
+      .toDF("mname", "metric_type", "ord", "conv")
+      .withColumn("tn", lit(1663904182000000000L))
+      .withColumn("m_sum", lit(6.5)).withColumn("m_count", lit(7L))
+      .withColumn("bounds", expr("array(1.0D, 2.5D)"))
+      .withColumn("bucket_counts", expr("array(2L, 4L, 1L)"))
+    val hb = collectMaps(OtlpOps.OtlpMetricParser("payload")(
+      OtlpOps.OtlpMetricWriter(nameKey = "mname", timeKey = "tn",
+        orderKey = "ord", groupKeys = Seq("conv"))(h).select("payload"))
+      .select("__name__", "__labels__", "__value__"))
+    val extras = Seq(
+      "otlp_metric_aggregation_temporality" -> "Unspecified",
+      "otlp_metric_histogram_type" -> "Histogram")
+    assert(hb.map(m => (m("__name__"), m("__value__"))).toSet == Set(
+      ("h1_sum", "6.5"), ("h1_count", "7"),
+      ("h1_bucket", "2"), ("h1_bucket", "6"), ("h1_bucket", "7")))
+    assert(hb.find(_("__value__") == "6").get("__labels__") ==
+      lbl(Seq("conv" -> "c-3", "le" -> "2.5") ++ extras: _*))
+    assert(hb.find(m => m("__name__") == "h1_bucket" &&
+      m("__value__") == "7").get("__labels__") ==
+      lbl(Seq("conv" -> "c-3", "le" -> "+Inf") ++ extras: _*))
+
+    // exponential histogram: sides + zero count at the given scale
+    val eh = Seq(("e1", "exp_histogram", 1L, "c-4"))
+      .toDF("mname", "metric_type", "ord", "conv")
+      .withColumn("tn", lit(1663904182000000000L))
+      .withColumn("m_count", lit(5L)).withColumn("scale", lit(0L))
+      .withColumn("zero_count", lit(1L))
+      .withColumn("pos_offset", lit(1L))
+      .withColumn("pos_counts", expr("array(3L)"))
+      .withColumn("neg_offset", lit(0L))
+      .withColumn("neg_counts", expr("array(1L)"))
+    val eb = collectMaps(OtlpOps.OtlpMetricParser("payload")(
+      OtlpOps.OtlpMetricWriter(nameKey = "mname", timeKey = "tn",
+        orderKey = "ord", groupKeys = Seq("conv"))(eh).select("payload"))
+      .select("__name__", "__labels__", "__value__"))
+    // scale 0 -> base 2: positive offset 1 bucket = (2,4]
+    val ehExtras = Seq(
+      "otlp_metric_aggregation_temporality" -> "Unspecified",
+      "otlp_metric_histogram_type" -> "ExponentialHistogram")
+    assert(eb.exists(m => m("__name__") == "e1_bucket" &&
+      m("__value__") == "3" && m("__labels__") ==
+      lbl(Seq("conv" -> "c-4", "le" -> "(2,4]") ++ ehExtras: _*)))
+    assert(eb.exists(m => m("__name__") == "e1_bucket" &&
+      m("__labels__").asInstanceOf[String].contains("zero.count") &&
+      m("__value__") == "1"))
+    assert(eb.exists(m => m("__value__") == "5" &&
+      m("__name__") == "e1_count"))
+  }
+
+  test("otlp trace writer: spans round-trip through the trace parser " +
+    "(ids, kind, status, events/links, host/service shortcuts, scope)") {
+    val s = spark
+    import s.implicits._
+    val spans = Seq(
+      (TraceId, SpanId, "", "op_a", 2, 1L,
+        1663904182000000000L, 1663904182000002000L, 1, "boom", "t-1"),
+      (TraceId, "2122232425262728", SpanId, "op_b", 3, 2L,
+        1663904182000000000L, 1663904182000005000L, 0, "", "t-1"))
+      .toDF("trace_id", "span_id", "parent_span_id", "sname", "kind",
+        "ord", "start_nano", "end_nano", "status_code", "status_message",
+        "conv")
+      .withColumn("host", lit("testHost"))
+      .withColumn("service", lit("testService"))
+      .withColumn("events", expr(
+        "array(named_struct('name', 'ev1', 'time', 1663904182000001000L))"))
+      .withColumn("links", expr(
+        s"array(named_struct('traceId', '$TraceId', 'spanId', " +
+          "'3132333435363738'))"))
+      .withColumn("role", lit("user"))
+    val packed = OtlpOps.OtlpTraceWriter(nameKey = "sname",
+      orderKey = "ord", groupKeys = Seq("conv"),
+      hostKey = "host", serviceKey = "service",
+      scopeName = "scope-n", scopeVersion = "v1",
+      attrKeys = Seq("role"), tags = Map("env" -> "prod"))(spans)
+    assert(packed.count() == 1 &&
+      packed.collect().head.getAs[Int]("n_records") == 2)
+    val back = collectMaps(
+      OtlpOps.OtlpTraceParser("payload")(packed.select("payload")))
+    assert(back.size == 2)
+    val a = back.find(_("name") == "op_a").get
+    assert(a("traceID") == TraceId && a("spanID") == SpanId)
+    assert(a("parentSpanID") == "" && a("kind") == "server")
+    assert(a("host") == "testHost" && a("service") == "testService")
+    assert(a("resource") == """{"conv":"t-1","env":"prod"}""")
+    assert(a("otlp.name") == "scope-n" && a("otlp.version") == "v1")
+    assert(a("start") == 1663904182000000L && a("end") == 1663904182000002L)
+    assert(a("duration") == 2L)
+    assert(a("statusCode") == "OK" && a("statusMessage") == "boom")
+    assert(a("attribute") == """{"role":"user"}""")
+    assert(a("logs") ==
+      """[{"attribute":{},"name":"ev1","time":1663904182000001000}]""")
+    assert(a("links") ==
+      s"""[{"attribute":{},"spanID":"3132333435363738","traceID":"$TraceId"}]""")
+    val b = back.find(_("name") == "op_b").get
+    assert(b("kind") == "client" && b("parentSpanID") == SpanId)
+    assert(b("statusCode") == "UNSET" && b("duration") == 5L)
   }
 
   test("otlp log writer: one ResourceLogs per group, null attrs absent, " +
