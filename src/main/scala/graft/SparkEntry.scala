@@ -656,6 +656,62 @@ object SparkEntry {
           col("contents")("role").as("role"),
           col("contents")("text").as("text"))
     },
+    "influx_roundtrip" -> { (s, dir) =>
+      // flusher-side influx line-protocol serialization
+      // (ConvertToInfluxdbProtocolStream) then the wire decoder: value
+      // types cycle float/int/bool/string, odd turns use a non-value
+      // field (name carries the :field suffix), labels include a
+      // space needing escape — the round trip is the identity
+      val m4 = pmod(col("turn_idx"), lit(4))
+      val m2 = pmod(col("turn_idx"), lit(2))
+      val rows = transcripts(s, dir).select(
+        when(m2 === 0, concat(lit("turn_"), col("role")))
+          .otherwise(concat(lit("turn_"), col("role"), lit(":gauge")))
+          .as("__name__"),
+        concat(lit("conv#$#"), col("conv_id"), lit("|loc#$#dc "),
+          pmod(col("turn_idx"), lit(3)), lit("|role#$#"), col("role"))
+          .as("__labels__"),
+        when(m4 === 0, concat(col("turn_idx"), lit(".25")))
+          .when(m4 === 1, col("turn_idx").cast("string"))
+          .when(m4 === 2,
+            when(pmod(col("turn_idx"), lit(8)) === 2, "1").otherwise("0"))
+          .otherwise(concat(lit("txt "), col("tool"))).as("__value__"),
+        when(m4 === 0, "float").when(m4 === 1, "int")
+          .when(m4 === 2, "boolean").otherwise("string").as("__type__"),
+        when(m2 === 0, "value").otherwise("gauge").as("__field__"),
+        (unix_timestamp(col("ts")) * 1000000000L).as("__time_nano__"))
+      val lines = FlusherFormats.InfluxLineWriter()(rows)
+      WireFormats.InfluxLineParser(sourceKey = "line",
+        fieldsExtend = true)(lines.select("line"))
+        .select("__name__", "__labels__", "__value__", "__type__",
+          "__field__", "__time_nano__")
+    },
+    "custom_single_encode" -> { (s, dir) =>
+      // flusher-side custom_single JSON (ConvertToSingleProtocolLogs):
+      // contents/tags/time objects with the reserved-tag pipeline
+      val t = transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        unix_timestamp(col("ts")).as("t_sec"))
+      FlusherFormats.CustomSingleWriter(
+        timeKey = "t_sec", contentKeys = Seq("role", "tool"),
+        tagCols = Seq("conv_id"),
+        source = "10.0.0.1", topic = "transcripts",
+        tags = Map("__hostname__" -> "graft-host"))(t)
+        .select(col("conv_id"), col("turn_idx"), col("payload"))
+    },
+    "custom_flatten_encode" -> { (s, dir) =>
+      // flusher-side custom_single_flatten / jsonline JSON: one flat
+      // sorted-key object per row (the jsonline stream is these
+      // payloads newline-joined by the text sink)
+      val t = transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        unix_timestamp(col("ts")).as("t_sec"))
+      FlusherFormats.CustomSingleWriter(
+        timeKey = "t_sec", contentKeys = Seq("role", "tool"),
+        tagCols = Seq("conv_id"), source = "10.0.0.1",
+        flatten = true)(t)
+        .select(col("conv_id"), col("turn_idx"), col("payload"))
+    },
     "otlp_metrics_roundtrip" -> { (s, dir) =>
       // flusher-side OTLP metrics serialization
       // (ConvertPipelineEventToOtlpMetric direction) then the metric
@@ -1649,6 +1705,49 @@ object SparkEntry {
                AS attributes,
              '{"conv_id":"' || conv_id || '","source":"graft"}' AS resources
            FROM r"""),
+
+      // line-protocol encode → decode = identity over the same
+      // transcript-derived metric rows
+      "influx_roundtrip" -> withCte(
+        """, r AS (
+             SELECT conv_id, turn_idx, role, tool,
+               mod(turn_idx, 4) AS m4, mod(turn_idx, 2) AS m2,
+               cast(floor(epoch(ts)) AS BIGINT) * 1000000000 AS tn
+             FROM transcripts)
+           SELECT
+             CASE WHEN m2 = 0 THEN 'turn_' || role
+               ELSE 'turn_' || role || ':gauge' END AS "__name__",
+             'conv#$#' || conv_id || '|loc#$#dc ' || mod(turn_idx, 3) ||
+               '|role#$#' || role AS "__labels__",
+             CASE WHEN m4 = 0 THEN turn_idx || '.25'
+               WHEN m4 = 1 THEN cast(turn_idx AS VARCHAR)
+               WHEN m4 = 2 THEN (CASE WHEN mod(turn_idx, 8) = 2
+                 THEN '1' ELSE '0' END)
+               ELSE 'txt ' || tool END AS "__value__",
+             CASE WHEN m4 = 0 THEN 'float' WHEN m4 = 1 THEN 'int'
+               WHEN m4 = 2 THEN 'boolean' ELSE 'string' END AS "__type__",
+             CASE WHEN m2 = 0 THEN 'value' ELSE 'gauge' END AS "__field__",
+             tn AS "__time_nano__"
+           FROM r"""),
+
+      // the converter's sorted-key JSON objects, rebuilt directly from
+      // the same transcript columns
+      "custom_single_encode" -> withCte(
+        """SELECT conv_id, turn_idx,
+             '{"contents":{"role":"' || role || '","tool":"' || tool ||
+             '"},"tags":{"conv_id":"' || conv_id ||
+             '","host.ip":"10.0.0.1","host.name":"graft-host",' ||
+             '"log.topic":"transcripts"},"time":' ||
+             cast(floor(epoch(ts)) AS BIGINT) || '}' AS payload
+           FROM transcripts"""),
+
+      "custom_flatten_encode" -> withCte(
+        """SELECT conv_id, turn_idx,
+             '{"conv_id":"' || conv_id || '","host.ip":"10.0.0.1",' ||
+             '"role":"' || role || '","time":' ||
+             cast(floor(epoch(ts)) AS BIGINT) ||
+             ',"tool":"' || tool || '"}' AS payload
+           FROM transcripts"""),
 
       // encode → decode = the reference's metric-log rows for the same
       // transcript-derived metric events (labels key-sorted k#$#v|…;

@@ -396,6 +396,51 @@ object PipelineConfig {
         maxLogs = int(n, "maxLogs", 4000),
         maxBytes = int(n, "maxBytes", 10 << 20)).apply _
     },
+    "custom_single_pack" -> { n =>
+      // flusher serialization: custom_single / custom_single_flatten
+      // JSON (pkg/protocol/converter/{custom_single_log,
+      // converter_single_log_flatten}.go)
+      FlusherFormats.CustomSingleWriter(
+        timeKey = str(n, "timeKey"),
+        contentKeys = strs(n, "contentKeys"),
+        tagCols = strs(n, "tagCols"),
+        source = strOpt(n, "source").getOrElse(""),
+        topic = strOpt(n, "topic").getOrElse(""),
+        tags = strMap(n, "tags"),
+        tagKeyRenameMap = strMap(n, "tagKeyRenameMap"),
+        protocolKeyRenameMap = strMap(n, "protocolKeyRenameMap"),
+        flatten = bool(n, "flatten", false),
+        onlyContents = bool(n, "onlyContents", false),
+        destKey = strOpt(n, "destKey").getOrElse("payload")).apply _
+    },
+    "jsonline_pack" -> { n =>
+      // jsonline = the flatten JSON shape; the text sink's one-per-line
+      // write IS the newline join (pkg/protocol/converter/jsonline.go)
+      FlusherFormats.CustomSingleWriter(
+        timeKey = str(n, "timeKey"),
+        contentKeys = strs(n, "contentKeys"),
+        tagCols = strs(n, "tagCols"),
+        source = strOpt(n, "source").getOrElse(""),
+        topic = strOpt(n, "topic").getOrElse(""),
+        tags = strMap(n, "tags"),
+        tagKeyRenameMap = strMap(n, "tagKeyRenameMap"),
+        protocolKeyRenameMap = strMap(n, "protocolKeyRenameMap"),
+        flatten = true,
+        onlyContents = bool(n, "onlyContents", false),
+        destKey = strOpt(n, "destKey").getOrElse("payload")).apply _
+    },
+    "influx_pack" -> { n =>
+      // flusher serialization: influx line protocol over metric-log
+      // rows (pkg/protocol/converter/influxdb_metric.go)
+      FlusherFormats.InfluxLineWriter(
+        nameKey = strOpt(n, "nameKey").getOrElse("__name__"),
+        labelsKey = strOpt(n, "labelsKey").getOrElse("__labels__"),
+        valueKey = strOpt(n, "valueKey").getOrElse("__value__"),
+        timeKey = strOpt(n, "timeKey").getOrElse("__time_nano__"),
+        typeKey = strOpt(n, "typeKey").getOrElse("__type__"),
+        fieldKey = strOpt(n, "fieldKey").getOrElse("__field__"),
+        destKey = strOpt(n, "destKey").getOrElse("line")).apply _
+    },
     "pyroscope_groups_parse" -> { n =>
       val tags = Option(n.get("tags")).map(_.fields.asScala
         .map(e => e.getKey -> e.getValue.asText).toMap)

@@ -119,6 +119,10 @@ class PipelineConfigSpec extends AnyFunSuite {
       "pprof_parse" -> """{"type":"pprof_parse","sourceKey":"pprofbin","nameKey":"pyroname"}""",
       // seriesLimit 1 → one WriteRequest payload per input row
       "remote_write_pack" -> """{"type":"remote_write_pack","nameKey":"role","labelsKey":"text","timeKey":"turn_idx","valueKey":"w","seriesLimit":1}""",
+      // per-row JSON / line-protocol serializations (row-preserving)
+      "custom_single_pack" -> """{"type":"custom_single_pack","timeKey":"turn_idx","contentKeys":["text","role"]}""",
+      "jsonline_pack" -> """{"type":"jsonline_pack","timeKey":"turn_idx","contentKeys":["text","role"]}""",
+      "influx_pack" -> """{"type":"influx_pack","nameKey":"role","valueKey":"w"}""",
       // rate/weight 1.0 → exact pass-through (harness asserts no rows lost)
       "sample_hash" -> """{"type":"sample_hash","keyField":"conv_id","rate":1.0}""",
       "sample_stratified" -> """{"type":"sample_stratified","stratumField":"role","keyField":"conv_id","rates":{"assistant":1.0},"defaultRate":1.0}""",

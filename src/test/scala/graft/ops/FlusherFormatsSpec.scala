@@ -1,0 +1,205 @@
+package graft.ops
+// (fixtures below cite the reference's own converter unit tests)
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession._
+
+/** Generic flusher serialization protocols
+  * (pkg/protocol/converter/{custom_single_log,
+  * converter_single_log_flatten,jsonline,influxdb_metric}.go),
+  * replaying the tag-rename / protocol-key vectors of
+  * custom_single_log_test.go and the line-protocol semantics of
+  * converter_sls_metric.go's metricReader. */
+class FlusherFormatsSpec extends AnyFunSuite {
+
+  private def accessLog() = {
+    val s = spark
+    import s.implicits._
+    // custom_single_log_test.go:36-61 — method/status contents, a
+    // __tag__:__path__ content-derived tag, LogTags __hostname__ +
+    // __pack_id__ (suppressed), Source 172.10.0.56, Topic "file"
+    Seq(("PUT", "200", "/root/test/origin/example.log", 1662434209L),
+      ("GET", "404", "/root/test/origin/example.log", 1662434487L))
+      .toDF("method", "status", "__tag__:__path__", "t_sec")
+  }
+
+  test("custom_single vectors (custom_single_log_test.go:30-86): " +
+    "reserved tag renames, pack_id suppression, host.ip/log.topic, " +
+    "sorted-key JSON with time as a number") {
+    val out = FlusherFormats.CustomSingleWriter(
+      timeKey = "t_sec", contentKeys = Seq("method", "status"),
+      tagCols = Seq("__tag__:__path__"),
+      source = "172.10.0.56", topic = "file",
+      tags = Map("__hostname__" -> "alje834hgf",
+        "__pack_id__" -> "AEDCFGHNJUIOPLMN-1E"))(accessLog())
+      .select("payload").collect().map(_.getString(0))
+    assert(out.head ==
+      """{"contents":{"method":"PUT","status":"200"},""" +
+      """"tags":{"host.ip":"172.10.0.56","host.name":"alje834hgf",""" +
+      """"log.file.path":"/root/test/origin/example.log",""" +
+      """"log.topic":"file"},"time":1662434209}""")
+    assert(out(1).contains(""""method":"GET","status":"404""""))
+  }
+
+  test("docker-env tags (custom_single_log_test.go:88-140): container " +
+    "renames land, __user_defined_id__ suppressed — 7 tags total") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("PUT", "200")).toDF("method", "status")
+      .withColumn("t_sec", org.apache.spark.sql.functions.lit(1662434209L))
+      .withColumn("__tag__:__user_defined_id__",
+        org.apache.spark.sql.functions.lit("machine"))
+      .withColumn("__tag__:__path__",
+        org.apache.spark.sql.functions.lit("/root/test/origin/example.log"))
+      .withColumn("__tag__:_container_name_",
+        org.apache.spark.sql.functions.lit("container"))
+      .withColumn("__tag__:_container_ip_",
+        org.apache.spark.sql.functions.lit("172.10.0.45"))
+      .withColumn("__tag__:_image_name_",
+        org.apache.spark.sql.functions.lit("image"))
+    val payload = FlusherFormats.CustomSingleWriter(
+      timeKey = "t_sec", contentKeys = Seq("method", "status"),
+      tagCols = Seq("__tag__:__user_defined_id__", "__tag__:__path__",
+        "__tag__:_container_name_", "__tag__:_container_ip_",
+        "__tag__:_image_name_"),
+      source = "172.10.0.56", topic = "file",
+      tags = Map("__hostname__" -> "alje834hgf"))(df)
+      .select("payload").collect().head.getString(0)
+    assert(payload ==
+      """{"contents":{"method":"PUT","status":"200"},""" +
+      """"tags":{"container.image.name":"image",""" +
+      """"container.ip":"172.10.0.45","container.name":"container",""" +
+      """"host.ip":"172.10.0.56","host.name":"alje834hgf",""" +
+      """"log.file.path":"/root/test/origin/example.log",""" +
+      """"log.topic":"file"},"time":1662434209}""")
+  }
+
+  test("tagKeyRenameMap (rename + rename-to-empty drops) and " +
+    "protocolKeyRenameMap (custom_single_log.go:44-58)") {
+    val payload = FlusherFormats.CustomSingleWriter(
+      timeKey = "t_sec", contentKeys = Seq("method"),
+      tagCols = Seq("__tag__:__path__"),
+      source = "172.10.0.56", topic = "file",
+      tags = Map("__hostname__" -> "alje834hgf"),
+      tagKeyRenameMap = Map(
+        "log.file.path" -> "filepath", // rename
+        "host.name" -> "", // rename-to-empty = drop
+        "log.topic" -> ""),
+      protocolKeyRenameMap = Map("time" -> "@timestamp",
+        "contents" -> "body"))(accessLog())
+      .select("payload").collect().head.getString(0)
+    // renamed protocol keys re-sort: @timestamp < body < tags
+    assert(payload ==
+      """{"@timestamp":1662434209,"body":{"method":"PUT"},""" +
+      """"tags":{"filepath":"/root/test/origin/example.log",""" +
+      """"host.ip":"172.10.0.56"}}""")
+  }
+
+  test("flatten merges contents+tags+time into one sorted object; " +
+    "onlyContents drops the tags; jsonline is the flatten shape") {
+    val flat = FlusherFormats.CustomSingleWriter(
+      timeKey = "t_sec", contentKeys = Seq("method", "status"),
+      tagCols = Seq("__tag__:__path__"), source = "172.10.0.56",
+      topic = "file", flatten = true)(accessLog())
+      .select("payload").collect().head.getString(0)
+    assert(flat ==
+      """{"host.ip":"172.10.0.56",""" +
+      """"log.file.path":"/root/test/origin/example.log",""" +
+      """"log.topic":"file","method":"PUT","status":"200",""" +
+      """"time":1662434209}""")
+    val contentsOnly = FlusherFormats.CustomSingleWriter(
+      timeKey = "t_sec", contentKeys = Seq("method", "status"),
+      tagCols = Seq("__tag__:__path__"), source = "172.10.0.56",
+      flatten = true, onlyContents = true)(accessLog())
+      .select("payload").collect().head.getString(0)
+    assert(contentsOnly ==
+      """{"method":"PUT","status":"200","time":1662434209}""")
+  }
+
+  test("flatten collision: a tag overwrites a content of the same key " +
+    "(Go map insert order, converter_single_log_flatten.go:40-49)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("fromContents", "fromTag", 1L))
+      .toDF("k", "__tag__:k", "t_sec")
+    val payload = FlusherFormats.CustomSingleWriter(
+      timeKey = "t_sec", contentKeys = Seq("k"),
+      tagCols = Seq("__tag__:k"), flatten = true)(df)
+      .select("payload").collect().head.getString(0)
+    assert(payload == """{"k":"fromTag","time":1}""")
+  }
+
+  // ---- influx line protocol --------------------------------------------
+
+  private def metricDf(rows: (String, String, String, String, String,
+      java.lang.Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("__name__", "__labels__", "__value__", "__type__",
+      "__field__", "__time_nano__")
+  }
+
+  test("influx encode: measurement/field split via __field__, sorted " +
+    "tags, per-type value rendering, timestamp omitted when absent " +
+    "(influxdb_metric.go:32-86 + metricReader)") {
+    val out = FlusherFormats.InfluxLineWriter()(metricDf(
+      // no labels, no ts (influxdb_metric_test.go wantStream line 1)
+      ("metric", "", "1", "float", "value", null),
+      // one label (line 2)
+      ("metric", "aa#$#bb", "1", "float", "value", null),
+      // ts present (line 3)
+      ("metric", "", "1", "float", "value", 1667615389000000000L),
+      // field != value: name carries the :field suffix the decoder
+      // wrote; encode strips it back (readNames TrimSuffix)
+      ("cpu:usage", "host#$#h1|zone#$#z", "0.5", "float", "usage", null),
+      // int / bool / string typed values
+      ("m", "", "42", "int", "value", null),
+      ("m", "", "1", "boolean", "value", null),
+      ("m", "", "hi \"q\"", "string", "value", null)))
+      .select("line").collect().map(_.getString(0))
+    assert(out(0) == "metric value=1")
+    assert(out(1) == "metric,aa=bb value=1")
+    assert(out(2) == "metric value=1 1667615389000000000")
+    assert(out(3) == "cpu,host=h1,zone=z usage=0.5")
+    assert(out(4) == "m value=42i")
+    assert(out(5) == "m value=true")
+    assert(out(6) == "m value=\"hi \\\"q\\\"\"")
+  }
+
+  test("influx encode escaping is the exact inverse of the parser: " +
+    "spaces/commas/equals in identifiers, quotes in strings — " +
+    "encode → InfluxLineParser = identity") {
+    val src = metricDf(
+      ("disk io", "dc 1#$#us,east|k=2#$#v 2", "3.25", "float", "value",
+        1667615389000000000L),
+      ("m:f 2", "a#$#b", "7", "int", "f 2", 1667615389000000001L))
+    val lines = FlusherFormats.InfluxLineWriter()(src)
+    assert(lines.select("line").collect().map(_.getString(0)).head ==
+      "disk\\ io,dc\\ 1=us\\,east,k\\=2=v\\ 2 value=3.25 1667615389000000000")
+    val back = collectMaps(WireFormats.InfluxLineParser(
+      sourceKey = "line", fieldsExtend = true)(lines.select("line"))
+      .select("__name__", "__labels__", "__value__", "__type__",
+        "__field__", "__time_nano__"))
+    assert(back.size == 2)
+    assert(back.head == Map("__name__" -> "disk io",
+      "__labels__" -> "dc 1#$#us,east|k=2#$#v 2",
+      "__value__" -> "3.25", "__type__" -> "float",
+      "__field__" -> "value",
+      "__time_nano__" -> 1667615389000000000L))
+    assert(back(1) == Map("__name__" -> "m:f 2",
+      "__labels__" -> "a#$#b", "__value__" -> "7",
+      "__type__" -> "int", "__field__" -> "f 2",
+      "__time_nano__" -> 1667615389000000001L))
+  }
+
+  test("influx encode drops an unparseable value instead of killing " +
+    "the batch (reference errors the whole LogGroup)") {
+    val out = FlusherFormats.InfluxLineWriter()(metricDf(
+      ("m", "", "not-a-number", "float", "value", null),
+      ("m", "", "nope", "int", "value", null),
+      ("m", "", "maybe", "boolean", "value", null),
+      ("ok", "", "1", "float", "value", null)))
+    assert(out.count() == 1)
+    assert(out.select("line").collect().head.getString(0) == "ok value=1")
+  }
+}
