@@ -147,14 +147,14 @@ object TextOps {
 
     def sketch(textCol: Column): Column =
       // let-bind the normalization: referenced per gram otherwise, the
-      // regexp_replace would run once per character position
+      // regexp_replace would run once per character position. One
+      // fused position→hash pass (no intermediate gram array) — HOF
+      // lambdas evaluate interpreted, so every avoided pass counts.
       graft.functions.Cols.let(
         regexp_replace(lower(textCol), "\\s+", " ")) { norm =>
-        val grams = transform(
+        slice(array_sort(array_distinct(transform(
           sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1))),
-          i => norm.substr(i, lit(gram)))
-        slice(array_sort(array_distinct(transform(grams, g => h(g)))),
-          1, sketchSize)
+          i => h(norm.substr(i, lit(gram)))))), 1, sketchSize)
       }
 
     def apply(df: DataFrame, idCol: String = "doc_id",
