@@ -29,6 +29,18 @@ class ExampleConfigsSpec extends AnyFunSuite {
     }
   }
 
+  test("influx_export.yaml emits well-formed line protocol for the " +
+    "latency metrics") {
+    val input = Transcripts.generate(spark, 40, seed = 9)
+    val spec = PipelineConfig.parse(
+      Files.readString(Paths.get("examples/influx_export.yaml")))
+    val lines = spec(input).select("line").collect().map(_.getString(0))
+    assert(lines.nonEmpty)
+    // latency_ms,role=…,tool=… value=<float> <seconds>
+    assert(lines.forall(
+      _.matches("""latency_ms,role=\S+,tool=\S+ value=\S+ \d+""")))
+  }
+
   test("transcript_pipeline.yaml routes every role to its configured sink") {
     val input = Transcripts.generate(spark, 40, seed = 9)
     val spec = PipelineConfig.parse(
