@@ -1044,6 +1044,18 @@ object SparkEntry {
         k = 10, SimilarityOps.IvfIndex(nlist = 16, nprobe = 4),
         SimilarityOps.BandedSignLsh(tables = 16, planes = 8, dims = 64))
     },
+    "neardup_recall" -> { (s, dir) =>
+      // pair-recall harness: the bucketed near-dup tiers measured
+      // against the exact O(n²) pair set at τ=0.35 — the number that
+      // says the hyperplane tiers under-recall at near-orthogonal
+      // thresholds (use SemDeDup there); both tiers exact-verify, so
+      // recall = count ratio
+      SimilarityOps.neardupRecall(tbl(s, dir, "embeddings"),
+        threshold = 0.35,
+        single = SimilarityOps.SignLsh(planes = 8, dims = 64),
+        banded = SimilarityOps.BandedSignLsh(tables = 16, planes = 8,
+          dims = 64))
+    },
     "semdedup" -> { (s, dir) =>
       // cluster-then-threshold semantic dedup: survivors with their cell
       SimilarityOps.SemDeDup(nlist = 16, threshold = 0.35)
@@ -2263,6 +2275,64 @@ object SparkEntry {
            )
            SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",
+
+      // pair-recall of the bucketed near-dup tiers vs the exact pair
+      // set: both tiers exact-verify their candidates, so recall is the
+      // count ratio; the single-table sig is md5(p:d), the banded sig
+      // md5(t:p:d) — the same derivations as their serving oracles
+      "neardup_recall" ->
+        """WITH allz AS (
+             SELECT e.vec_id AS va, f.vec_id AS vb, unnest(e.embedding) AS x, unnest(f.embedding) AS y
+             FROM embeddings e JOIN embeddings f ON e.vec_id < f.vec_id
+           ), alls AS (
+             SELECT va, vb, round(sum(cast(x AS DOUBLE)*cast(y AS DOUBLE)) /
+               (sqrt(sum(cast(x AS DOUBLE)*cast(x AS DOUBLE))) *
+                sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE)))), 4) AS cos
+             FROM allz GROUP BY va, vb
+           ), exact_p AS (SELECT va, vb FROM alls WHERE cos >= 0.35),
+           splanes AS (
+             SELECT p.p, d.d,
+               CASE WHEN cast(('0x' || substr(md5(p.p || ':' || d.d), 1, 1)) AS BIGINT) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS w
+             FROM (SELECT unnest(range(0, 8)) AS p) p, (SELECT unnest(range(0, 64)) AS d) d
+           ), sproj AS (
+             SELECT e.vec_id, pl.p, sum(cast(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS s
+             FROM embeddings e, splanes pl GROUP BY 1, 2
+           ), ssig AS (
+             SELECT vec_id, cast(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS b
+             FROM sproj GROUP BY 1
+           ), scand AS (
+             SELECT a.vec_id AS va, bb.vec_id AS vb
+             FROM ssig a JOIN ssig bb ON a.b = bb.b AND a.vec_id < bb.vec_id
+           ),
+           bplanes AS (
+             SELECT t.t, p.p, d.d,
+               CASE WHEN cast(('0x' || substr(md5(t.t || ':' || p.p || ':' || d.d), 1, 1)) AS BIGINT) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS w
+             FROM (SELECT unnest(range(0, 16)) AS t) t,
+                  (SELECT unnest(range(0, 8)) AS p) p,
+                  (SELECT unnest(range(0, 64)) AS d) d
+           ), bproj AS (
+             SELECT e.vec_id, pl.t, pl.p, sum(cast(e.embedding[pl.d+1] AS DOUBLE) * pl.w) AS s
+             FROM embeddings e, bplanes pl GROUP BY 1, 2, 3
+           ), bsig AS (
+             SELECT vec_id, t, cast(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS b
+             FROM bproj GROUP BY 1, 2
+           ), bcand AS (
+             SELECT DISTINCT a.vec_id AS va, bb.vec_id AS vb
+             FROM bsig a JOIN bsig bb ON a.t = bb.t AND a.b = bb.b AND a.vec_id < bb.vec_id
+           ), counts AS (
+             SELECT
+               (SELECT count(*) FROM exact_p) AS ec,
+               (SELECT count(*) FROM scand s JOIN exact_p e
+                  ON s.va = e.va AND s.vb = e.vb) AS sc,
+               (SELECT count(*) FROM bcand b JOIN exact_p e
+                  ON b.va = e.va AND b.vb = e.vb) AS bc
+           )
+           SELECT 'lsh' AS method, sc AS pairs_found, ec AS pairs_exact,
+             round(sc * 1.0 / ec, 4) AS recall FROM counts
+           UNION ALL
+           SELECT 'lsh_banded', bc, ec, round(bc * 1.0 / ec, 4) FROM counts""",
 
       // banded multi-table sign-LSH (16 tables × 8 planes): candidates
       // share a bucket with the query in ANY table, each table probed

@@ -49,8 +49,15 @@ final case class TableIO(root: String,
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // shuffle on the partition columns first: without it every writer
+    // task emits one file into every partition dir it touches —
+    // tasks × dirs tiny files (the banded-LSH index measured 60k files
+    // for 2k vectors, 80 s build, 7 s reads; 1 file/dir reads in <1 s).
+    // One AQE-coalesced shuffle per index build is the right trade at
+    // any scale: readers pay file-open and listing cost forever.
     try
-      writer(df).mode("overwrite").partitionBy(partitionCols: _*)
+      writer(df.repartition(partitionCols.map(df.col): _*))
+        .mode("overwrite").partitionBy(partitionCols: _*)
         .parquet(path(table))
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
