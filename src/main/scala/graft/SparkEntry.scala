@@ -1009,8 +1009,14 @@ object SparkEntry {
       val idxRoot = new java.io.File(
         "/tmp/graft_lsh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val io = graft.sink.TableIO(idxRoot.toString)
-      if (!new java.io.File(idxRoot, "lsh_index").exists())
+      // cache on a marker written AFTER the build (dynamic partition
+      // overwrite suppresses _SUCCESS): a crashed mid-write index is
+      // rebuilt, never served
+      val done = new java.io.File(idxRoot, "lsh_index.done")
+      if (!done.exists()) {
         lsh.writeIndex(e, io, "lsh_index")
+        done.createNewFile()
+      }
       lsh.topKIndexed(s, io, "lsh_index", e.filter(col("vec_id") === 0),
         k = 10)
     },
@@ -1030,8 +1036,14 @@ object SparkEntry {
       val idxRoot = new java.io.File(
         "/tmp/graft_blsh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val io = graft.sink.TableIO(idxRoot.toString)
-      if (!new java.io.File(idxRoot, "blsh_index").exists())
+      // cache on a marker written AFTER the build (dynamic partition
+      // overwrite suppresses _SUCCESS): a crashed mid-write index is
+      // rebuilt, never served
+      val done = new java.io.File(idxRoot, "blsh_index.done")
+      if (!done.exists()) {
         lsh.writeIndex(e, io, "blsh_index")
+        done.createNewFile()
+      }
       lsh.topKIndexed(s, io, "blsh_index", e.filter(col("vec_id") === 0),
         k = 10)
     },
@@ -2237,7 +2249,7 @@ object SparkEntry {
                sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
              FROM z GROUP BY vec_id
            )
-           SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
+           SELECT cast(row_number() OVER (ORDER BY round(dot/(nx*ny), 4) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",
 
       // same sketch as ann_lsh, but candidates come from the query's
@@ -2273,7 +2285,7 @@ object SparkEntry {
                sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
              FROM z GROUP BY vec_id
            )
-           SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
+           SELECT cast(row_number() OVER (ORDER BY round(dot/(nx*ny), 4) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",
 
       // pair-recall of the bucketed near-dup tiers vs the exact pair
@@ -2371,7 +2383,7 @@ object SparkEntry {
                sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
              FROM z GROUP BY vec_id
            )
-           SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
+           SELECT cast(row_number() OVER (ORDER BY round(dot/(nx*ny), 4) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",
 
       "ann_ivf" ->
@@ -2404,7 +2416,7 @@ object SparkEntry {
                sqrt(sum(cast(y AS DOUBLE)*cast(y AS DOUBLE))) AS ny
              FROM z2 GROUP BY 1
            )
-           SELECT cast(row_number() OVER (ORDER BY dot/(nx*ny) DESC, vec_id) AS INT) AS rank, vec_id
+           SELECT cast(row_number() OVER (ORDER BY round(dot/(nx*ny), 4) DESC, vec_id) AS INT) AS rank, vec_id
            FROM sc ORDER BY 1 LIMIT 10""",
 
       // exact / IVF(16,4) / banded sign-LSH(16 tables × 8 planes,
@@ -2638,7 +2650,7 @@ object SparkEntry {
                    sqrt(sum(cast(x AS DOUBLE) * cast(x AS DOUBLE))) AS nx,
                    sqrt(sum(cast(y AS DOUBLE) * cast(y AS DOUBLE))) AS ny
                  FROM z GROUP BY vec_id)
-           SELECT cast(row_number() OVER (ORDER BY dot / (nx * ny) DESC, vec_id) AS INT) AS rank,
+           SELECT cast(row_number() OVER (ORDER BY round(dot / (nx * ny), 4) DESC, vec_id) AS INT) AS rank,
                   vec_id
            FROM s ORDER BY 1 LIMIT 10"""
     )

@@ -474,8 +474,15 @@ object BinaryDecoders {
               case s => scala.util.Try(s.toDouble).getOrElse(0.0)
             }
           // labels: tags + __name__, lexicographically sorted, empties
-          // dropped (utils.go:63-99); nanos → ms (utils.go:52-59)
-          val labels = ((metricNameKey -> name) +: tags)
+          // dropped (utils.go:63-99); nanos → ms (utils.go:52-59).
+          // Dedup by key (last wins) first: the reference builds the
+          // set from a MAP, so duplicate keys — a repeated tag or a
+          // __name__ entry inside the label string — cannot reach the
+          // wire there; here they would make an invalid WriteRequest
+          val labels = (tags :+ (metricNameKey -> name))
+            .foldLeft(Vector.empty[(String, String)]) {
+              case (acc, (k, v)) => acc.filterNot(_._1 == k) :+ (k -> v)
+            }
             .filter { case (k, v) => k.nonEmpty && v.nonEmpty }
             .sortBy(_._1)
           buf += ((labels, Seq((value, tn / 1000000L))))

@@ -118,12 +118,14 @@ object FlusherFormats {
       // Go json.Marshal sorts map keys — keys are static, sort once
       val fields: Seq[(String, Column)] =
         if (flatten) {
-          val merged = (contents ++
-            (if (onlyContents) Nil else tagMap))
+          // time participates in the same last-wins fold: a content or
+          // tag column named like the time key would otherwise emit a
+          // duplicate JSON key where the Go map insert overwrites
+          (contents ++ (if (onlyContents) Nil else tagMap) :+
+            (pk("time") -> timeCol))
             .foldLeft(Vector.empty[(String, Column)]) {
               case (acc, (k, v)) => acc.filterNot(_._1 == k) :+ (k -> v)
             }
-          merged :+ (pk("time") -> timeCol)
         } else Seq(
           pk("contents") -> struct(contents.sortBy(_._1)
             .map { case (k, v) => v.as(k) }: _*),
@@ -216,11 +218,12 @@ object FlusherFormats {
       val tn = optCol(df, timeKey, "long").try_cast("long")
       val tsPart = when(tn.isNull || tn === 0L, lit(""))
         .otherwise(concat(lit(" "), tn.cast("string")))
-      df.withColumn("__line__", concat(
+      // withColumn REPLACES an existing destKey column; a rename from a
+      // temp name would instead leave two same-named columns behind
+      df.withColumn(destKey, concat(
           escMeas(meas), tagPart, lit(" "),
           escIdent(fieldName), lit("="), rendered, tsPart))
-        .filter(col("__line__").isNotNull) // unparseable value → drop
-        .withColumnRenamed("__line__", destKey)
+        .filter(col(destKey).isNotNull) // unparseable value → drop
     }
   }
 }

@@ -615,71 +615,57 @@ object OtlpOps {
       tags: Map[String, String] = Map.empty) {
     require(groupKeys.nonEmpty, "need at least one group key")
 
-    private def strAttr(k: String, v: Column): Column =
-      struct(lit(k).as("key"),
-        struct(v.cast("string").as("stringValue")).as("value"))
-
     def apply(df: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       // null attribute values are ABSENT attributes, not {"k":null};
-      // zero attrKeys needs a TYPED empty array (a bare array() is
-      // array<void> and the filter lambda cannot extract from it)
-      val attrs =
-        if (attrKeys.isEmpty) array().cast(
-          "array<struct<key:string,value:struct<stringValue:string>>>")
-        else filter(array(attrKeys.map(k => strAttr(k, col(k))): _*),
-          a => a.getField("value").getField("stringValue").isNotNull)
+      // group keys can be null too — same rule via the shared filter
       val record = struct(
         (col(timeKey).cast("long") * 1000000000L).cast("string")
           .as("timeUnixNano"),
         col(levelKey).cast("string").as("severityText"),
         struct(col(bodyKey).cast("string").as("stringValue")).as("body"),
-        attrs.as("attributes"))
-      // orderKey ties get a content-hash tiebreak: without it tie order
-      // depends on shuffle input order and a re-run at different
-      // parallelism could swap records, breaking byte-identical output
-      // (equal-hash ties are identical records, so any order serializes
-      // the same bytes)
-      val tiebreak = xxhash64(
-        (Seq(timeKey, levelKey, bodyKey) ++ attrKeys).distinct.map(col): _*)
-      val byG = Window.partitionBy(groupKeys.map(col): _*)
-        .orderBy(col(orderKey), tiebreak)
-      val full = byG.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      // group keys can be null too — same absent-attribute rule as attrKeys
-      val resAttrs = filter(
-        array(groupKeys.map(k => strAttr(k, col(k))) ++
-          tags.toSeq.sortBy(_._1).map { case (k, v) => strAttr(k, lit(v)) }: _*),
-        a => a.getField("value").getField("stringValue").isNotNull)
-      df.select(groupKeys.map(col) :+
-          row_number().over(byG).as("__rn__") :+
-          collect_list(record).over(full).as("__recs__") :+
-          resAttrs.as("__res__"): _*)
-        .where(col("__rn__") === 1)
-        .select(groupKeys.map(col) :+
-          to_json(struct(array(struct(
-            struct(col("__res__").as("attributes")).as("resource"),
-            array(struct(col("__recs__").as("logRecords")))
-              .as("scopeLogs"))).as("resourceLogs"))).as("payload") :+
-          size(col("__recs__")).as("n_records"): _*)
+        strAttrs(attrKeys).as("attributes"))
+      groupedRequest(df, groupKeys, orderKey,
+        Seq(timeKey, levelKey, bodyKey) ++ attrKeys, tags, record,
+        (recs, res) => struct(array(struct(
+          struct(res.as("attributes")).as("resource"),
+          array(struct(recs.as("logRecords")))
+            .as("scopeLogs"))).as("resourceLogs")))
     }
   }
 
+  /** One OTLP string attribute struct (null value → filtered out by
+    * [[strAttrs]]/the resource filter: absent attribute, not k:null). */
+  private def strAttr(k: String, v: Column): Column =
+    struct(lit(k).as("key"),
+      struct(v.cast("string").as("stringValue")).as("value"))
+
+  /** The attrKeys columns as a string-attribute array; zero keys needs
+    * a TYPED empty array (a bare array() is array<void> and the filter
+    * lambda cannot extract from it). */
+  private def strAttrs(attrKeys: Seq[String]): Column =
+    if (attrKeys.isEmpty) array().cast(
+      "array<struct<key:string,value:struct<stringValue:string>>>")
+    else filter(array(attrKeys.map(k => strAttr(k, col(k))): _*),
+      a => a.getField("value").getField("stringValue").isNotNull)
+
   /** Shared flusher-side assembly: order rows per group with the
     * stable ordered-concat idiom and serialize ONE JSON request per
-    * group — the [[OtlpLogWriter]] shape reused by the metric and
-    * trace writers. `record` is the per-row pdata struct; `wrap`
-    * turns the collected record array + resource attrs into the
-    * request struct to `to_json`. */
+    * group — used by the log, metric, and trace writers. `record` is
+    * the per-row pdata struct; `wrap` turns the collected record array
+    * + resource attrs into the request struct to `to_json`.
+    *
+    * `tiebreakCols` must cover EVERY serialized column: orderKey ties
+    * get a content-hash tiebreak because without it tie order depends
+    * on shuffle input order and a re-run at different parallelism
+    * could swap records, breaking byte-identical output (equal-hash
+    * ties are identical records, so any order serializes the same
+    * bytes). */
   private def groupedRequest(df: DataFrame, groupKeys: Seq[String],
       orderKey: String, tiebreakCols: Seq[String],
       tags: Map[String, String], record: Column,
       wrap: (Column, Column) => Column,
       extraRes: Seq[(String, Column)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def strAttr(k: String, v: Column): Column =
-      struct(lit(k).as("key"),
-        struct(v.cast("string").as("stringValue")).as("value"))
     val tiebreak = xxhash64(tiebreakCols.distinct.map(col): _*)
     val byG = Window.partitionBy(groupKeys.map(col): _*)
       .orderBy(col(orderKey), tiebreak)
@@ -754,14 +740,7 @@ object OtlpOps {
     require(groupKeys.nonEmpty, "need at least one group key")
 
     def apply(df: DataFrame): DataFrame = {
-      def strAttr(k: String): Column =
-        struct(lit(k).as("key"),
-          struct(col(k).cast("string").as("stringValue")).as("value"))
-      val attrs =
-        if (attrKeys.isEmpty) array().cast(
-          "array<struct<key:string,value:struct<stringValue:string>>>")
-        else filter(array(attrKeys.map(strAttr): _*),
-          a => a.getField("value").getField("stringValue").isNotNull)
+      val attrs = strAttrs(attrKeys)
       val tn = col(timeKey).cast("long").cast("string")
       val mtype = col(typeKey)
       val numDp = array(struct(attrs.as("attributes"),
@@ -808,8 +787,18 @@ object OtlpOps {
       val known =
         mtype.isin("gauge", "counter", "summary", "histogram",
           "exp_histogram")
+      // the tie tiebreak must hash EVERY serialized column — equal-key
+      // rows with different values would otherwise order by shuffle
+      // placement, breaking byte-identical re-runs (the OtlpLogWriter
+      // contract); value-bearing columns are optional, hash the ones
+      // that exist
+      val valueCols = Seq(valueKey, sumKey, countKey, minKey, maxKey,
+        quantilesKey, boundsKey, bucketCountsKey, scaleKey, zeroCountKey,
+        posOffsetKey, posCountsKey, negOffsetKey, negCountsKey)
+        .filter(df.columns.contains)
       groupedRequest(df.where(known), groupKeys, orderKey,
-        Seq(nameKey, timeKey, typeKey) ++ attrKeys, tags, metric,
+        Seq(nameKey, timeKey, typeKey) ++ attrKeys ++ valueCols, tags,
+        metric,
         (recs, res) => struct(array(struct(
           struct(res.as("attributes")).as("resource"),
           array(struct(recs.as("metrics")))
@@ -854,14 +843,7 @@ object OtlpOps {
     require(groupKeys.nonEmpty, "need at least one group key")
 
     def apply(df: DataFrame): DataFrame = {
-      def strAttr(k: String): Column =
-        struct(lit(k).as("key"),
-          struct(col(k).cast("string").as("stringValue")).as("value"))
-      val attrs =
-        if (attrKeys.isEmpty) array().cast(
-          "array<struct<key:string,value:struct<stringValue:string>>>")
-        else filter(array(attrKeys.map(strAttr): _*),
-          a => a.getField("value").getField("stringValue").isNotNull)
+      val attrs = strAttrs(attrKeys)
       val events = transform(
         optCol(df, eventsKey, "array<struct<name:string,time:long>>"),
         e => struct(e.getField("time").cast("string").as("timeUnixNano"),
@@ -897,8 +879,14 @@ object OtlpOps {
          else lit(null).cast("string")).as("name"),
         (if (scopeVersion.nonEmpty) lit(scopeVersion)
          else lit(null).cast("string")).as("version"))
+      // hash every serialized column that exists (same determinism
+      // contract as the metric writer's tiebreak)
+      val spanCols = Seq(traceIdKey, spanIdKey, nameKey, startKey,
+        endKey, kindKey, parentSpanIdKey, statusCodeKey,
+        statusMessageKey, traceStateKey, eventsKey, linksKey)
+        .filter(df.columns.contains)
       groupedRequest(df, groupKeys, orderKey,
-        Seq(traceIdKey, spanIdKey, nameKey, startKey) ++ attrKeys, tags,
+        spanCols ++ attrKeys, tags,
         span,
         (recs, res) => struct(array(struct(
           struct(res.as("attributes")).as("resource"),

@@ -460,7 +460,11 @@ object PprofOps {
               Some(Row.fromSeq(passVals ++ Seq(
                 nameOut, stackOut, stackId, spy, profileKind(display),
                 unit, display, agg, "CallStack", endNs - startNs,
-                profileID, labels, "%.2f".format(v.toDouble),
+                profileID, labels,
+                // Locale.US pinned: the default-locale format would
+                // render a comma decimal separator on e.g. de_DE JVMs
+                String.format(java.util.Locale.US, "%.2f",
+                  java.lang.Double.valueOf(v.toDouble)),
                 if (startNs == 0) null
                 else new java.sql.Timestamp(startNs / 1000000L))))
             }

@@ -51,11 +51,15 @@ object SimilarityOps {
     * `TakeOrderedAndProject` (no full sort), then the ≤k survivors fold
     * into ONE bounded array that is sorted and position-exploded. No
     * `row_number` over an unpartitioned Window anywhere — that pattern
-    * moves ALL data to one task the moment a caller lifts the limit. */
+    * moves ALL data to one task the moment a caller lifts the limit.
+    * Ranks by ROUNDED cosine (4 dp) with the id tiebreak — the
+    * engine-portable ranking rule: an unrounded rank-k boundary flips
+    * on last-ulp summation-order differences between engines. */
   private def rankTopK(scored: DataFrame, k: Int, idCol: String): DataFrame =
-    scored.orderBy(col("cos").desc, col(idCol)).limit(k)
+    scored.withColumn("__rc__", round(col("cos"), 4))
+      .orderBy(col("__rc__").desc, col(idCol)).limit(k)
       .agg(array_sort(collect_list(
-        struct((-col("cos")).as("nc"), col(idCol).as("id")))).as("__top__"))
+        struct((-col("__rc__")).as("nc"), col(idCol).as("id")))).as("__top__"))
       .select(posexplode(col("__top__")).as(Seq("__p__", "__s__")))
       .select((col("__p__") + 1).cast("int").as("rank"),
         col("__s__").getField("id").as(idCol))

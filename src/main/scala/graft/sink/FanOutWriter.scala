@@ -100,13 +100,13 @@ final case class FanOutWriter(
           concat_ws("|", col("__sink__"), col("__bucket__")).isin(keep: _*))
       }
 
-    // One shuffle on the partition keys so each (sink, bucket) partition
-    // is written by a single task: without it every task writes a file
-    // into every partition (tasks × partitions small files — measured
-    // 3072 files for 96 partitions). maxRecordsPerFile still splits
+    // TableIO.overwritePartitions owns the one-shuffle-per-partition-key
+    // clustering (each (sink, bucket) partition written by a single
+    // task — without it, tasks × partitions small files; measured 3072
+    // files for 96 partitions). maxRecordsPerFile still splits
     // oversized partitions (LogGroup batching parity).
     val partCols = Seq("__sink__", "__bucket__") ++ extraPartCols
-    val clustered = pending.repartition(partCols.map(col): _*)
+    val clustered = pending
 
     // This run OWNS the attempted partition space: clear attempted
     // directories first (bounded driver-side deletes), because dynamic
