@@ -394,6 +394,38 @@ class OtlpOpsSpec extends AnyFunSuite {
     assert(b("statusCode") == "UNSET" && b("duration") == 5L)
   }
 
+  test("otlp writers: byte-identical payloads across parallelism, " +
+    "including orderKey ties that differ ONLY in a value column") {
+    val s = spark
+    import s.implicits._
+    // two gauge rows tie on (orderKey, name, time, type) and differ
+    // only in value — the tiebreak must hash the value column or the
+    // collect order would follow shuffle placement
+    val rows = Seq(
+      ("m", "gauge", 1L, 1.5, "c-1"), ("m", "gauge", 1L, 2.5, "c-1"),
+      ("m", "gauge", 1L, 0.5, "c-1"), ("n", "counter", 2L, 9.0, "c-1"))
+      .toDF("mname", "metric_type", "ord", "value", "conv")
+      .withColumn("tn", lit(1663904182000000000L))
+    def payload(df: org.apache.spark.sql.DataFrame): String =
+      OtlpOps.OtlpMetricWriter(nameKey = "mname", timeKey = "tn",
+        orderKey = "ord", groupKeys = Seq("conv"))(df)
+        .select("payload").collect().head.getString(0)
+    val p1 = payload(rows.repartition(1))
+    val p7 = payload(rows.repartition(7))
+    assert(p1 == p7)
+    // same determinism contract for the trace writer on duplicate ids
+    val spans = Seq(
+      (TraceId, SpanId, "a", 1, 0L, 10L, 20L, "t-1"),
+      (TraceId, SpanId, "a", 1, 0L, 10L, 30L, "t-1")) // differs in end only
+      .toDF("trace_id", "span_id", "sname", "kind", "ord",
+        "start_nano", "end_nano", "conv")
+    def tPayload(df: org.apache.spark.sql.DataFrame): String =
+      OtlpOps.OtlpTraceWriter(nameKey = "sname", orderKey = "ord",
+        groupKeys = Seq("conv"))(df)
+        .select("payload").collect().head.getString(0)
+    assert(tPayload(spans.repartition(1)) == tPayload(spans.repartition(5)))
+  }
+
   test("otlp log writer: one ResourceLogs per group, null attrs absent, " +
     "escaped bodies round-trip through the decoder") {
     val s = spark
