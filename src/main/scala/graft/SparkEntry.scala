@@ -2399,7 +2399,8 @@ object SparkEntry {
              FROM z GROUP BY 1, 2
            ), ranked AS (
              SELECT vec_id, c, row_number() OVER (
-               PARTITION BY vec_id ORDER BY dot/(nx*ny) DESC, c DESC) AS rn
+               PARTITION BY vec_id
+               ORDER BY round(dot/(nx*ny), 4) DESC, c DESC) AS rn
              FROM s
            ), asn AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
            qcells AS (SELECT c AS cell FROM ranked WHERE vec_id = 0 AND rn <= 4),
@@ -2437,7 +2438,8 @@ object SparkEntry {
              FROM zc GROUP BY 1, 2
            ), rankedc AS (
              SELECT vec_id, c, row_number() OVER (
-               PARTITION BY vec_id ORDER BY dot/(nx*ny) DESC, c DESC) AS rn
+               PARTITION BY vec_id
+               ORDER BY round(dot/(nx*ny), 4) DESC, c DESC) AS rn
              FROM sc
            ), asn AS (SELECT vec_id, c AS cell FROM rankedc WHERE rn = 1),
            rankedq AS (
@@ -2518,7 +2520,8 @@ object SparkEntry {
            LEFT JOIN hits_l hl ON hl.qid = q.vec_id""",
 
       // same centroid/assignment math as ann_ivf (first-16 centroids,
-      // cos-desc cell-desc tie break); within-cell pairs; a vector drops
+      // rounded-cos-desc cell-desc tie break); within-cell pairs; a
+      // vector drops
       // when a smaller-id vector in its cell has rounded cos >= 0.35
       "semdedup" ->
         """WITH cent AS (
@@ -2533,7 +2536,8 @@ object SparkEntry {
              FROM z GROUP BY 1, 2
            ), ranked AS (
              SELECT vec_id, c, row_number() OVER (
-               PARTITION BY vec_id ORDER BY dot/(nx*ny) DESC, c DESC) AS rn
+               PARTITION BY vec_id
+               ORDER BY round(dot/(nx*ny), 4) DESC, c DESC) AS rn
              FROM s
            ), asn AS (SELECT vec_id, c AS cell FROM ranked WHERE rn = 1),
            zz AS (

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-expression helpers. */
@@ -42,4 +42,22 @@ object Cols {
       split(regexp_replace(src, regex, repl), "\u0001", -1))
       .otherwise(array((1 to n).map(i => regexp_extract(src, regex, i)): _*))
   }
+
+  /** A column that may not exist in the input (absent config surface —
+    * reads as null). One definition shared by the flusher encoders and
+    * the pyroscope/OTLP parsers so absent-column semantics can't drift
+    * between them. */
+  def optCol(df: DataFrame, name: String, ddl: String = "string"): Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast(ddl)
+
+  /** Go `strconv.FormatFloat('g',-1,64)` for the value range wire data
+    * carries: integral → no ".0" (100.0 → "100"), else plain decimal
+    * (same digits as Java's shortest repr in the non-exponent range).
+    * NaN/±Inf pass through as "NaN"/"Infinity" (pdata JSON carries
+    * them as strings); writers whose wire REJECTS non-finite values
+    * must null them out before calling (influx line protocol does). */
+  def goFloat(d: Column): Column =
+    when(abs(d) < 1e15 && d === d.try_cast("long").cast("double"),
+      d.try_cast("long").cast("string"))
+      .otherwise(d.cast("string"))
 }

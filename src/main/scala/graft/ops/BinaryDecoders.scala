@@ -415,7 +415,11 @@ object BinaryDecoders {
     * to the staleness-marker bits). Same mapPartitions seam and posture
     * as [[SlsPbWriter]]: partition-local packing, no shuffle, no driver
     * state; `RemoteWriteParser(this(df))` reproduces the exact row set
-    * (pack boundaries are partition-dependent, the rows are not).
+    * (pack boundaries are partition-dependent, the rows are not) —
+    * except that a `|` INSIDE a label value (readSortedLabels
+    * continuation, [[readLabels]]) reaches the wire intact but decodes
+    * back sanitized to `_`, because helper.MetricLabels rendering does
+    * exactly that in the reference too.
     * Output: one row per payload (`payload` binary, `n_series`). */
   final case class RemoteWriteWriter(
       nameKey: String = "__name__",
@@ -456,11 +460,7 @@ object BinaryDecoders {
           val name = if (r.isNullAt(nIdx)) "" else String.valueOf(r.get(nIdx))
           val labelStr =
             if (r.isNullAt(lIdx)) "" else String.valueOf(r.get(lIdx))
-          val tags = labelStr.split("\\|").toSeq.flatMap { ent =>
-            val i = ent.indexOf("#$#")
-            if (i < 0) None else Some(ent.substring(0, i) ->
-              ent.substring(i + 3))
-          }
+          val tags = readLabels(labelStr)
           val tn = r.get(tIdx) match {
             case n: Number => n.longValue
             case null => 0L
@@ -493,6 +493,41 @@ object BinaryDecoders {
   }
 
   private val metricNameKey = "__name__"
+
+  /** The reference's `metricReader.readSortedLabels` scan
+    * (`pkg/protocol/converter/converter_sls_metric.go:101-160`) over
+    * the `k#$#v|…` string: `|` separates entries, but a segment
+    * WITHOUT `#$#` is a CONTINUATION — it extends the previous label's
+    * VALUE (the `|` restored), or the pending KEY before the first
+    * completed label; key/value split on the FIRST `#$#`. A trailing
+    * `|` yields no segment there (the manual scanner exits on empty
+    * remainder) — mirrored by dropping the one trailing empty split. A
+    * dangling key at the end is the reference's error case; the
+    * writers' total posture keeps the completed labels and drops the
+    * dangling key. Unsorted — callers sort/dedup per their wire rules. */
+  private[ops] def readLabels(labelStr: String): Seq[(String, String)] = {
+    if (labelStr.isEmpty) return Nil
+    val all = labelStr.split("\\|", -1)
+    val segs: Seq[String] =
+      if (all.last.isEmpty) all.toSeq.dropRight(1) else all.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var key = ""
+    segs.foreach { seg =>
+      val i = seg.indexOf("#$#")
+      if (i < 0) {
+        if (out.nonEmpty) {
+          val (k, v) = out.last
+          out(out.size - 1) = (k, v + "|" + seg)
+        } else key = if (key.isEmpty) seg else key + "|" + seg
+      } else {
+        val k0 = seg.substring(0, i)
+        out += (((if (key.isEmpty) k0 else key + "|" + k0),
+          seg.substring(i + 3)))
+        key = ""
+      }
+    }
+    out.toSeq
+  }
 
   // --- test-vector encoders -------------------------------------------------
 

@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Cols
+import graft.functions.Cols.{goFloat, optCol}
 
 /** Generic flusher serialization protocols — the wire shapes the
   * reference's kafka/http flushers write, selected by the converter's
@@ -167,9 +169,6 @@ object FlusherFormats {
       fieldKey: String = "__field__",
       destKey: String = "line") {
 
-    private def optCol(df: DataFrame, name: String, ddl: String): Column =
-      if (df.columns.contains(name)) col(name) else lit(null).cast(ddl)
-
     // identifier escapes (inverse of InfluxLineParser.unescapeIdent)
     private def escMeas(c: Column): Column =
       regexp_replace(c, "([,\\\\ ])", "\\\\$1")
@@ -177,12 +176,6 @@ object FlusherFormats {
       regexp_replace(c, "([,=\\\\ ])", "\\\\$1")
     private def escStr(c: Column): Column =
       regexp_replace(c, "([\"\\\\])", "\\\\$1")
-
-    /** Go shortest-float for the re-rendered default-typed value. */
-    private def goFloat(d: Column): Column =
-      when(abs(d) < 1e15 && d === d.try_cast("long").cast("double"),
-        d.try_cast("long").cast("string"))
-        .otherwise(d.cast("string"))
 
     def apply(df: DataFrame): DataFrame = {
       val name = col(nameKey).cast("string")
@@ -198,23 +191,68 @@ object FlusherFormats {
           name.substr(lit(1), length(name) - length(fieldName) - 1))
           .otherwise(name))
       val labels = coalesce(optCol(df, labelsKey, "string"), lit(""))
+      // readSortedLabels (converter_sls_metric.go:101-160): `|` splits
+      // entries, but a segment WITHOUT "#$#" is a CONTINUATION — it
+      // extends the previous label's VALUE (the `|` restored), or the
+      // pending KEY before the first completed label; key/value split
+      // on the FIRST "#$#" (substring_index(-1) would take the LAST).
+      // The reference's manual scanner emits no segment for a trailing
+      // `|` — drop the one trailing empty Spark's split keeps. A
+      // dangling key at the end is the reference's error case; total
+      // posture keeps the completed labels and drops the dangling key.
+      val segsAll = split(labels, "\\|", -1)
+      val segs = when(element_at(segsAll, -1) === "",
+        slice(segsAll, lit(1), size(segsAll) - 1)).otherwise(segsAll)
+      val folded = aggregate(
+        segs,
+        struct(array().cast("array<struct<k:string,v:string>>").as("ls"),
+          lit("").as("key")),
+        (acc, seg) => {
+          val ls = acc.getField("ls")
+          val key = acc.getField("key")
+          val i = instr(seg, "#$#")
+          when(i === 0,
+            when(size(ls) > 0, struct(
+              concat(slice(ls, lit(1), size(ls) - 1), array(struct(
+                element_at(ls, -1).getField("k").as("k"),
+                concat(element_at(ls, -1).getField("v"), lit("|"), seg)
+                  .as("v")))).as("ls"),
+              key.as("key")))
+              .otherwise(struct(ls.as("ls"),
+                when(key === "", seg)
+                  .otherwise(concat(key, lit("|"), seg)).as("key"))))
+            .otherwise(struct(
+              concat(ls, array(struct(
+                when(key === "", seg.substr(lit(1), i - 1))
+                  .otherwise(concat(key, lit("|"),
+                    seg.substr(lit(1), i - 1))).as("k"),
+                seg.substr(i + lit(3), length(seg)).as("v")))).as("ls"),
+              lit("").as("key")))
+        },
+        acc => acc.getField("ls"))
       // sort by RAW key (the reference sorts MetricLabels pre-escape)
-      val tagPart = when(labels === "", lit("")).otherwise(
-        concat(lit(","), array_join(transform(array_sort(transform(
-          split(labels, "\\|"),
-          e => struct(substring_index(e, "#$#", 1).as("k"),
-            substring_index(e, "#$#", -1).as("v")))),
-          kv => concat(escIdent(kv.getField("k")), lit("="),
-            escIdent(kv.getField("v")))), ",")))
+      val tagPart = Cols.let(folded)(ls =>
+        when(size(ls) === 0, lit("")).otherwise(
+          concat(lit(","), array_join(transform(array_sort(ls),
+            kv => concat(escIdent(kv.getField("k")), lit("="),
+              escIdent(kv.getField("v")))), ","))))
       val boolVal = when(lower(value).isin("1", "t", "true"), "true")
         .when(lower(value).isin("0", "f", "false"), "false")
+      // NaN/±Inf parse as doubles but lineprotocol.NewValue REJECTS
+      // them (the reference errors the batch; the documented batch
+      // posture here is drop-the-point) — null them so the rendered
+      // line nulls out and the drop filter below removes the row
+      val dv = value.try_cast("double")
+      val finite = when(isnan(dv) ||
+        abs(dv) === lit(Double.PositiveInfinity),
+        lit(null).cast("double")).otherwise(dv)
       val rendered =
         when(vtype === "int",
           concat(value.try_cast("long").cast("string"), lit("i")))
           .when(vtype.isin("bool", "boolean"), boolVal)
           .when(vtype === "string",
             concat(lit("\""), escStr(value), lit("\"")))
-          .otherwise(goFloat(value.try_cast("double")))
+          .otherwise(goFloat(finite))
       val tn = optCol(df, timeKey, "long").try_cast("long")
       val tsPart = when(tn.isNull || tn === 0L, lit(""))
         .otherwise(concat(lit(" "), tn.cast("string")))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.functions.Cols
+import graft.functions.Cols.{goFloat, optCol}
 
 /** OTLP/JSON metric and trace decoders — the remaining two thirds of
   * the OTLP family next to [[WireFormats.OtlpLogParser]].
@@ -56,14 +57,6 @@ object OtlpOps {
 
   private def noEntries: Column = array().cast(EntriesDDL)
   private def noRows: Column = array().cast(RowsDDL)
-
-  /** Go `strconv.FormatFloat('g',-1,64)` for the value range wire data
-    * carries: integral → no ".0" (100.0 → "100"), else plain decimal
-    * (same digits as Java's shortest repr in the non-exponent range). */
-  private def goFloat(d: Column): Column =
-    when(abs(d) < 1e15 && d === d.try_cast("long").cast("double"),
-      d.try_cast("long").cast("string"))
-      .otherwise(d.cast("string"))
 
   private def scalarString(v: Column): Column =
     coalesce(v.getField("stringValue"), v.getField("intValue"),
@@ -687,11 +680,6 @@ object OtlpOps {
         to_json(wrap(col("__recs__"), col("__res__"))).as("payload") :+
         size(col("__recs__")).as("n_records"): _*)
   }
-
-  /** A column that may not exist in the input (absent config surface —
-    * reads as null, same contract as the pyroscope parsers). */
-  private def optCol(df: DataFrame, name: String, ddl: String): Column =
-    if (df.columns.contains(name)) col(name) else lit(null).cast(ddl)
 
   /** Flusher-side OTLP/JSON **metrics** serialization —
     * `ConvertPipelineEventToOtlpMetric`

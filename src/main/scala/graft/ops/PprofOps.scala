@@ -241,12 +241,32 @@ object PprofOps {
 
   private val GzipMagic = 0x1f
 
+  /** Decompression cap: a hostile few-KB gzip bomb expanding to
+    * gigabytes would OutOfMemoryError — an Error, NOT the Exception
+    * decodeRow's total-function catch handles — and kill the whole
+    * batch. Bounding the inflate keeps the failure an IOException the
+    * drop path absorbs; 64 MiB is far above any real pprof body. */
+  private[ops] val MaxInflatedBytes: Int = 64 << 20
+
   private[ops] def gunzipIfNeeded(raw: Array[Byte]): Array[Byte] =
     if (raw.length > 2 && (raw(0) & 0xff) == GzipMagic &&
       (raw(1) & 0xff) == 0x8b) {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(raw))
-      try in.readAllBytes() finally in.close()
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(raw.length * 4, 1024), 1 << 20))
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          if (out.size > MaxInflatedBytes)
+            throw new java.io.IOException(
+              s"inflated pprof body exceeds $MaxInflatedBytes bytes")
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
     } else raw
 
   /** sampleRate(p) (pprof.go:181-195): the profile's period scaled to

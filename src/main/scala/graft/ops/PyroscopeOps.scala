@@ -115,12 +115,10 @@ object PyroscopeOps {
           .otherwise(t)
       }
 
-    /** A query param that was absent on the request: a missing COLUMN
-      * reads as all-null, so one DataFrame can mix requests with and
-      * without the param only by carrying the column; this keeps config
-      * use total when the fixture never sets a param at all. */
+    // absent query param = missing COLUMN reading as all-null —
+    // Cols.optCol, shared with the OTLP/flusher encoders
     private def optCol(df: DataFrame, name: String): Column =
-      if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+      Cols.optCol(df, name)
 
     def apply(df: DataFrame): DataFrame = {
       val paramCols = Seq(bodyKey, nameKey, fromKey, untilKey,

@@ -406,9 +406,12 @@ object SimilarityOps {
     /** Append the best-cell column via broadcast join + `max_by`: each
       * row is scored against the broadcast centroids (map-side, nlist
       * copies collapse in the PARTIAL aggregate before any shuffle — the
-      * exchange carries one row per vector). Ties break toward the
-      * LARGER cell id, matching the previous ranked-sort semantics and
-      * the DuckDB oracle's `ORDER BY cos DESC, c DESC`. */
+      * exchange carries one row per vector). The centroid cosine is
+      * ROUNDED to 4 dp before the argmax — an unrounded assignment
+      * boundary flips on last-ulp summation-order differences between
+      * engines (the same rank-boundary rule every cross-engine ranking
+      * here follows); ties break toward the LARGER cell id, matching
+      * the DuckDB oracle's `ORDER BY round(cos, 4) DESC, c DESC`. */
     def assign(df: DataFrame, cents: Array[Array[Double]],
         idCol: String = "vec_id", vecCol: String = "embedding",
         cellCol: String = "cell"): DataFrame = {
@@ -425,7 +428,8 @@ object SimilarityOps {
       val dot = aggregate(zip_with(col("__v__"), col("__cvec__"),
         (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       val scored = prepped.crossJoin(broadcast(centroidDf(spark, cents)))
-        .withColumn("__cos__", dot / (col("__nv__") * col("__cnorm__")))
+        .withColumn("__cos__",
+          round(dot / (col("__nv__") * col("__cnorm__")), 4))
       val carried = struct(df.columns.map(col): _*)
       scored
         .groupBy(col("__rid__"))
@@ -438,7 +442,8 @@ object SimilarityOps {
     /** Driver-side ranked probe cells for ONE query vector (bounded
       * control-plane math — the reference's shard lookup analog). Same
       * sequential left-to-right double fold as the Catalyst `aggregate`,
-      * same (cos desc, cell desc) tie-break as [[assign]]. */
+      * same ROUNDED-cosine (4 dp HALF_UP, like SQL `round`) + cell-desc
+      * tie-break as [[assign]] and the oracle rankings. */
     private[ops] def probeCells(qv: Array[Double],
         cents: Array[Array[Double]]): Seq[Int] = {
       val nq = math.sqrt(qv.map(x => x * x).sum)
@@ -446,7 +451,9 @@ object SimilarityOps {
         var dot = 0.0
         var d = 0
         while (d < math.min(c.length, qv.length)) { dot += qv(d) * c(d); d += 1 }
-        (dot / (nq * math.sqrt(c.map(x => x * x).sum)), i)
+        val cos = dot / (nq * math.sqrt(c.map(x => x * x).sum))
+        (BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, i)
       }.sortBy { case (cos, i) => (-cos, -i) }.take(nprobe).map(_._2).toSeq
     }
 

@@ -100,13 +100,7 @@ final case class FanOutWriter(
           concat_ws("|", col("__sink__"), col("__bucket__")).isin(keep: _*))
       }
 
-    // TableIO.overwritePartitions owns the one-shuffle-per-partition-key
-    // clustering (each (sink, bucket) partition written by a single
-    // task — without it, tasks × partitions small files; measured 3072
-    // files for 96 partitions). maxRecordsPerFile still splits
-    // oversized partitions (LogGroup batching parity).
     val partCols = Seq("__sink__", "__bucket__") ++ extraPartCols
-    val clustered = pending
 
     // This run OWNS the attempted partition space: clear attempted
     // directories first (bounded driver-side deletes), because dynamic
@@ -119,7 +113,12 @@ final case class FanOutWriter(
         subdirs = extraPartCols.map(c =>
           c -> String.valueOf(extraPartValues(c))))
 
-    io.overwritePartitions(clustered, table, partCols)
+    // TableIO.overwritePartitions owns the one-shuffle-per-partition-key
+    // clustering (each (sink, bucket) partition written by a single
+    // task — without it, tasks × partitions small files; measured 3072
+    // files for 96 partitions). maxRecordsPerFile still splits
+    // oversized partitions (LogGroup batching parity).
+    io.overwritePartitions(pending, table, partCols)
     // Lineage from the WRITTEN table, not from the input plan: reading
     // back compressed parquet restricted to the attempted partitions
     // (OR-of-equalities -> partition pruning) is far cheaper than
@@ -143,9 +142,9 @@ final case class FanOutWriter(
         try io.read(spark, table).where(attempted && extras)
         catch {
           case _: org.apache.spark.sql.AnalysisException =>
-            clustered.limit(0)
+            pending.limit(0)
         }
-      } else clustered
+      } else pending
     // attempted-but-empty partitions get zero-row lineage so resume
     // marks them complete instead of re-attempting forever
     Lineage.record(io, runId, lineageSource, expected = allBuckets)

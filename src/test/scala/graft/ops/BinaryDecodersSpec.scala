@@ -200,6 +200,32 @@ class BinaryDecodersSpec extends AnyFunSuite {
     assert(p4.map(_("__name__")).toSet == back.map(_("__name__")).toSet)
   }
 
+  test("remote-write writer: readSortedLabels continuation — a '|' " +
+    "inside a label value or key reaches the wire intact " +
+    "(converter_sls_metric.go:101-160) instead of dropping the " +
+    "continuation segment; the decoder then sanitizes per " +
+    "helper.MetricLabels") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("m", "job#$#x|path#$#/a|/b", 1663904182000000000L, "1.5"),
+      ("m2", "a|b#$#v", 1663904182000000000L, "2.5"))
+      .toDF("__name__", "__labels__", "__time_nano__", "__value__")
+      .repartition(1)
+    val raws = BinaryDecoders.RemoteWriteWriter(snappy = false)(rows)
+      .collect().map(_.getAs[Array[Byte]](0))
+    val byName = raws.flatMap(BinaryDecoders.parseWriteRequest).map(sm =>
+      sm.name -> sm.labels.filterNot(_._1 == "__name__")).toMap
+    assert(byName("m") == Seq("job" -> "x", "path" -> "/a|/b"))
+    assert(byName("m2") == Seq("a|b" -> "v"))
+    // full round trip: the DECODER renders helper.MetricLabels, which
+    // sanitizes '|' in values and non-word chars in keys to '_'
+    val back = collectMaps(BinaryDecoders.RemoteWriteParser("payload")(
+      BinaryDecoders.RemoteWriteWriter()(rows).select("payload")))
+    assert(back.map(_("__labels__")).toSet ==
+      Set("job#$#x|path#$#/a_/b", "a_b#$#v"))
+  }
+
   test("binary decoders are total under fuzzed bytes: random payloads " +
     "drop rows, never kill the job") {
     val rnd = new scala.util.Random(42) // deterministic fuzz corpus

@@ -202,4 +202,44 @@ class FlusherFormatsSpec extends AnyFunSuite {
     assert(out.count() == 1)
     assert(out.select("line").collect().head.getString(0) == "ok value=1")
   }
+
+  test("influx encode label continuation (readSortedLabels converter_" +
+    "sls_metric.go:101-160): a segment without '#$#' extends the " +
+    "previous VALUE or the pending KEY, value splits on the FIRST " +
+    "'#$#', a trailing '|' emits nothing, a dangling key drops") {
+    val out = FlusherFormats.InfluxLineWriter()(metricDf(
+      ("m", "path#$#/a|/b", "1", "float", "value", null), // value cont.
+      ("m", "a|b#$#v", "1", "float", "value", null), // key continuation
+      ("m", "k#$#v#$#w", "1", "float", "value", null), // first-#$# split
+      ("m", "aa#$#bb|", "1", "float", "value", null), // trailing '|'
+      ("m", "dangling", "1", "float", "value", null))) // dangling key
+      .select("line").collect().map(_.getString(0))
+    assert(out(0) == "m,path=/a|/b value=1")
+    assert(out(1) == "m,a|b=v value=1")
+    assert(out(2) == "m,k=v#$#w value=1")
+    assert(out(3) == "m,aa=bb value=1")
+    assert(out(4) == "m value=1")
+    // and the value-continuation line round-trips through the parser
+    val back = collectMaps(WireFormats.InfluxLineParser(
+      sourceKey = "line", fieldsExtend = true)(
+      FlusherFormats.InfluxLineWriter()(metricDf(
+        ("m", "path#$#/a|/b", "1", "float", "value", null)))
+        .select("line"))
+      .select("__name__", "__labels__"))
+    assert(back.head == Map("__name__" -> "m",
+      "__labels__" -> "path#$#/a|/b"))
+  }
+
+  test("influx encode: NaN/Infinity parse as doubles but the reference " +
+    "lineprotocol.NewValue rejects non-finite values — the row drops " +
+    "instead of emitting an invalid line") {
+    val out = FlusherFormats.InfluxLineWriter()(metricDf(
+      ("m", "", "NaN", "float", "value", null),
+      ("m", "", "Infinity", "float", "value", null),
+      ("m", "", "-Infinity", "float", "value", null),
+      ("ok", "", "2.5", "float", "value", null)))
+    assert(out.count() == 1)
+    assert(out.select("line").collect().head.getString(0) ==
+      "ok value=2.5")
+  }
 }

@@ -149,6 +149,22 @@ class PprofOpsSpec extends AnyFunSuite {
     PprofOps.PprofParser()(fuzz).count() // must not throw
   }
 
+  test("gzip bomb: a few-KB body inflating past the 64 MiB cap drops " +
+    "the row (bounded inflate throws IOException, which the decode " +
+    "seam absorbs) instead of OOMing the executor") {
+    val bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      val chunk = new Array[Byte](1 << 20)
+      (0 until 80).foreach(_ => gz.write(chunk)) // 80 MiB of zeros
+      gz.close()
+      bos.toByteArray
+    }
+    assert(bomb.length < 256 * 1024) // it IS a bomb, not a big body
+    intercept[java.io.IOException](PprofOps.gunzipIfNeeded(bomb))
+    assert(PprofOps.PprofParser()(reqDf(bomb)).count() == 0)
+  }
+
   test("deterministic uuid-shaped fallback profileID when no " +
     "profile_id brace label (from+duration bound)") {
     val s = spark
