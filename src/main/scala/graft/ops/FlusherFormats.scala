@@ -139,6 +139,54 @@ object FlusherFormats {
     }
   }
 
+  /** Catalyst twin of [[BinaryDecoders.readLabels]] — the reference's
+    * `metricReader.readSortedLabels` scan
+    * (`converter_sls_metric.go:101-160`) over the `k#$#v|…` string as a
+    * per-row expression: `|` splits entries, but a segment WITHOUT
+    * "#$#" is a CONTINUATION — it extends the previous label's VALUE
+    * (the `|` restored), or the pending KEY before the first completed
+    * label; key/value split on the FIRST "#$#" (substring_index(-1)
+    * would take the LAST). The reference's manual scanner emits no
+    * segment for a trailing `|` — drop the one trailing empty Spark's
+    * split keeps. A dangling key at the end is the reference's error
+    * case; total posture keeps the completed labels and drops the
+    * dangling key. Returns `array<struct<k,v>>` in scan order
+    * (unsorted — callers sort/dedup per their wire rules); the
+    * property spec pins this expression to the Scala scanner on random
+    * inputs so the two can never drift. */
+  private[ops] def labelEntries(labels: Column): Column = {
+    val segsAll = split(labels, "\\|", -1)
+    val segs = when(element_at(segsAll, -1) === "",
+      slice(segsAll, lit(1), size(segsAll) - 1)).otherwise(segsAll)
+    aggregate(
+      segs,
+      struct(array().cast("array<struct<k:string,v:string>>").as("ls"),
+        lit("").as("key")),
+      (acc, seg) => {
+        val ls = acc.getField("ls")
+        val key = acc.getField("key")
+        val i = instr(seg, "#$#")
+        when(i === 0,
+          when(size(ls) > 0, struct(
+            concat(slice(ls, lit(1), size(ls) - 1), array(struct(
+              element_at(ls, -1).getField("k").as("k"),
+              concat(element_at(ls, -1).getField("v"), lit("|"), seg)
+                .as("v")))).as("ls"),
+            key.as("key")))
+            .otherwise(struct(ls.as("ls"),
+              when(key === "", seg)
+                .otherwise(concat(key, lit("|"), seg)).as("key"))))
+          .otherwise(struct(
+            concat(ls, array(struct(
+              when(key === "", seg.substr(lit(1), i - 1))
+                .otherwise(concat(key, lit("|"),
+                  seg.substr(lit(1), i - 1))).as("k"),
+              seg.substr(i + lit(3), length(seg)).as("v")))).as("ls"),
+            lit("").as("key")))
+      },
+      acc => acc.getField("ls"))
+  }
+
   /** Influx line-protocol serialization of metric-log rows —
     * `ConvertToInfluxdbProtocolStream` (`influxdb_metric.go:32-86`)
     * over the metricReader's field contract
@@ -191,45 +239,7 @@ object FlusherFormats {
           name.substr(lit(1), length(name) - length(fieldName) - 1))
           .otherwise(name))
       val labels = coalesce(optCol(df, labelsKey, "string"), lit(""))
-      // readSortedLabels (converter_sls_metric.go:101-160): `|` splits
-      // entries, but a segment WITHOUT "#$#" is a CONTINUATION — it
-      // extends the previous label's VALUE (the `|` restored), or the
-      // pending KEY before the first completed label; key/value split
-      // on the FIRST "#$#" (substring_index(-1) would take the LAST).
-      // The reference's manual scanner emits no segment for a trailing
-      // `|` — drop the one trailing empty Spark's split keeps. A
-      // dangling key at the end is the reference's error case; total
-      // posture keeps the completed labels and drops the dangling key.
-      val segsAll = split(labels, "\\|", -1)
-      val segs = when(element_at(segsAll, -1) === "",
-        slice(segsAll, lit(1), size(segsAll) - 1)).otherwise(segsAll)
-      val folded = aggregate(
-        segs,
-        struct(array().cast("array<struct<k:string,v:string>>").as("ls"),
-          lit("").as("key")),
-        (acc, seg) => {
-          val ls = acc.getField("ls")
-          val key = acc.getField("key")
-          val i = instr(seg, "#$#")
-          when(i === 0,
-            when(size(ls) > 0, struct(
-              concat(slice(ls, lit(1), size(ls) - 1), array(struct(
-                element_at(ls, -1).getField("k").as("k"),
-                concat(element_at(ls, -1).getField("v"), lit("|"), seg)
-                  .as("v")))).as("ls"),
-              key.as("key")))
-              .otherwise(struct(ls.as("ls"),
-                when(key === "", seg)
-                  .otherwise(concat(key, lit("|"), seg)).as("key"))))
-            .otherwise(struct(
-              concat(ls, array(struct(
-                when(key === "", seg.substr(lit(1), i - 1))
-                  .otherwise(concat(key, lit("|"),
-                    seg.substr(lit(1), i - 1))).as("k"),
-                seg.substr(i + lit(3), length(seg)).as("v")))).as("ls"),
-              lit("").as("key")))
-        },
-        acc => acc.getField("ls"))
+      val folded = labelEntries(labels)
       // sort by RAW key (the reference sorts MetricLabels pre-escape)
       val tagPart = Cols.let(folded)(ls =>
         when(size(ls) === 0, lit("")).otherwise(
