@@ -192,6 +192,72 @@ class FlusherFormatsSpec extends AnyFunSuite {
       "__time_nano__" -> 1667615389000000001L))
   }
 
+  test("influx encode/decode is a fixed point on hostile identifiers: " +
+    "encode → parse → encode reproduces the exact line set") {
+    // randomized escape-inverse property: spaces/commas/equals/
+    // backslashes/quotes/pipes/unicode in measurements, tag keys, tag
+    // values, fields, and string values. The first encode canonicalizes
+    // (sorted tags, shortest floats); the parse must invert the
+    // escaping exactly so the second encode is byte-identical.
+    import org.scalacheck.Gen
+    // '|' only in VALUES: a pipe inside a sorted tag KEY can re-scan
+    // into a duplicate key (influx-invalid by construction); '#' never
+    // — it would change which entries the label scanner sees (that
+    // scanner has its own twin-pin property test)
+    val keyChar = Gen.oneOf('a', 'Z', '0', ' ', ',', '=', '\\',
+      ':', '"', '€', '_')
+    val valChar = Gen.oneOf('a', 'Z', '0', ' ', ',', '=', '\\', '|',
+      ':', '"', '€', '_')
+    // head char non-space so identifiers are never all-whitespace
+    def identOf(g: Gen[Char]) = for {
+      h <- Gen.oneOf('a', 'Z', '0', '€', '_')
+      n <- Gen.choose(0, 5)
+      t <- Gen.listOfN(n, g)
+    } yield (h +: t).mkString
+    def ident(min: Int) = identOf(keyChar)
+    val tagGen = for { k <- identOf(keyChar); v <- identOf(valChar) }
+      yield (k, v)
+    val rowGen: Gen[(String, String, String, String, String,
+        java.lang.Long)] = for {
+      name <- ident(1)
+      nTags <- Gen.choose(0, 4)
+      tags <- Gen.listOfN(nTags, tagGen)
+      vtype <- Gen.oneOf("float", "int", "bool", "string")
+      value <- vtype match {
+        case "float" => Gen.choose(-1e6, 1e6).map(_.toString)
+        case "int" => Gen.choose(Long.MinValue, Long.MaxValue)
+          .map(_.toString)
+        case "bool" => Gen.oneOf("true", "false")
+        case _ => Gen.listOfN(5, valChar).map(_.mkString)
+      }
+      field <- Gen.oneOf(Gen.const("value"), ident(1))
+      ts <- Gen.oneOf(Gen.const(null: java.lang.Long),
+        Gen.choose(1L, 1767615389000000000L).map(Long.box))
+    } yield {
+      // distinct keys: duplicate tag keys are influx-invalid and the
+      // writer's sort on them is unstable by design (reference parity)
+      val labels = tags.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+        .map { case (k, v) => k + "#$#" + v }.mkString("|")
+      (name, labels, value, vtype, field, ts)
+    }
+    val rows = Gen.listOfN(60, rowGen).sample.getOrElse(Nil)
+    assert(rows.size == 60)
+    val src = metricDf(rows: _*)
+    val w = FlusherFormats.InfluxLineWriter()
+    val lines1 = w(src).select("line").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(lines1.size == 60, "first encode dropped parseable rows")
+    val decoded = WireFormats.InfluxLineParser(
+      sourceKey = "line", fieldsExtend = true)(w(src).select("line"))
+      .select("__name__", "__labels__", "__value__", "__type__",
+        "__field__", "__time_nano__")
+    val lines2 = w(decoded).select("line").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(lines2 == lines1,
+      s"escape round-trip drifted:\n${lines1.zip(lines2)
+        .filter(p => p._1 != p._2).take(5).mkString("\n")}")
+  }
+
   test("influx encode drops an unparseable value instead of killing " +
     "the batch (reference errors the whole LogGroup)") {
     val out = FlusherFormats.InfluxLineWriter()(metricDf(
